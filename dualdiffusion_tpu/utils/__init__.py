@@ -1,0 +1,7 @@
+from .config import (CONFIG_PATH, MODELS_PATH, DATASET_PATH, DEBUG_PATH,
+                     CACHE_PATH, NO_GUI, load_config, save_config,
+                     config_from_dict, config_to_dict, load_json, save_json)
+from .utils import (load_audio, save_audio, get_audio_loudness, normalize_lufs,
+                    load_safetensors, save_safetensors, load_safetensors_metadata,
+                    tensor_to_img, save_img, quantize_tensor, dequantize_tensor,
+                    mu_law_encode, mu_law_decode, cos_angle, slerp, fractal_noise_2d)

@@ -1,0 +1,77 @@
+import numpy as np
+
+from dualdiffusion_tpu.utils import (get_audio_loudness, normalize_lufs,
+                                     load_audio, save_audio,
+                                     load_safetensors, save_safetensors,
+                                     quantize_tensor, dequantize_tensor,
+                                     mu_law_encode, mu_law_decode,
+                                     slerp, tensor_to_img, fractal_noise_2d)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    sr = 32000
+    audio = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    audio = np.stack([audio, -audio])
+    p = tmp_path / "a.wav"
+    save_audio(audio, sr, p)
+    loaded, sr2 = load_audio(p, return_sample_rate=True)
+    assert sr2 == sr and loaded.shape == audio.shape
+    assert np.abs(loaded - audio).max() < 1e-3
+
+
+def test_lufs_sine_reference():
+    # a full-scale 1 kHz stereo sine should measure ~ -0.7 LUFS (BS.1770-4:
+    # 997 Hz sine at 0 dBFS reads -3.01 LUFS per channel, both channels sum)
+    sr = 48000
+    t = np.arange(5 * sr) / sr
+    sine = np.sin(2 * np.pi * 997.0 * t).astype(np.float64)
+    mono = sine[None]
+    lufs = get_audio_loudness(mono, sr)
+    assert abs(lufs - (-3.01)) < 0.2
+
+
+def test_normalize_lufs():
+    sr = 32000
+    t = np.arange(3 * sr) / sr
+    audio = (0.01 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    out = normalize_lufs(audio, sr, target_lufs=-20.0)
+    measured = get_audio_loudness(out, sr)
+    assert abs(measured - (-20.0)) < 0.5
+
+
+def test_safetensors_roundtrip(tmp_path, rng):
+    d = {"a": rng.standard_normal((4, 5)).astype(np.float32),
+         "b": np.arange(7, dtype=np.int32)}
+    p = tmp_path / "t.safetensors"
+    save_safetensors(d, p, metadata={"k": "v"})
+    loaded = load_safetensors(p)
+    assert set(loaded) == {"a", "b"}
+    np.testing.assert_array_equal(loaded["a"], d["a"])
+
+
+def test_quantize_roundtrip(rng):
+    x = rng.standard_normal((16, 16)).astype(np.float32)
+    codes, scale, offset = quantize_tensor(x, 256)
+    xr = dequantize_tensor(codes, scale, offset)
+    assert np.abs(xr - x).max() <= float(scale) / 2 + 1e-6
+
+
+def test_mu_law_roundtrip(rng):
+    x = rng.uniform(-1, 1, 100).astype(np.float32)
+    assert np.abs(mu_law_decode(mu_law_encode(x)) - x).max() < 1e-5
+
+
+def test_slerp_endpoints(rng):
+    a = rng.standard_normal(10); b = rng.standard_normal(10)
+    np.testing.assert_allclose(slerp(a, b, 0.0), a, atol=1e-6)
+    np.testing.assert_allclose(slerp(a, b, 1.0), b, atol=1e-6)
+
+
+def test_tensor_to_img(rng):
+    img = tensor_to_img(rng.standard_normal((2, 32, 64)))
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+
+def test_fractal_noise(rng):
+    n = fractal_noise_2d((64, 64), rng=rng)
+    assert n.shape == (64, 64) and np.isfinite(n).all()
