@@ -1,0 +1,186 @@
+"""FFT backend abstraction for TPU.
+
+XLA's TPU FFT support is limited (non-power-of-2 sizes fall off the fast
+path), so every DSP op in this framework routes real FFTs through this module
+instead of calling ``jnp.fft`` directly. Two backends:
+
+  * ``"fft"``     — ``jnp.fft.rfft/irfft`` (always correct; fast on CPU).
+  * ``"matmul"``  — DFT as an MXU matmul against precomputed cos/sin bases.
+    For the fixed, known-at-trace-time sizes used by this project
+    (512-pt MDCT, 4096/6400-pt STFT) the bases are compile-time constants
+    living in HBM and the transform becomes one or two large matmuls —
+    the TPU-native formulation (SURVEY.md §2.9 item 4).
+
+``set_default_backend`` flips the global default; "auto" picks matmul on TPU
+and fft elsewhere. Matmul bases are cached per (n, dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DEFAULT_BACKEND = "auto"
+
+# transforms at least this long use a two-stage Cooley-Tukey factorization
+# in the matmul backend (cost N*(N1+N2) instead of N^2)
+_FACTORIZE_MIN_N = 1024
+
+
+def set_default_backend(backend: str) -> None:
+    global _DEFAULT_BACKEND
+    assert backend in ("auto", "fft", "matmul")
+    _DEFAULT_BACKEND = backend
+
+
+def _resolve(backend: Optional[str]) -> str:
+    b = backend or _DEFAULT_BACKEND
+    if b == "auto":
+        return "matmul" if jax.default_backend() == "tpu" else "fft"
+    return b
+
+
+@functools.lru_cache(maxsize=32)
+def _rdft_basis(n: int):
+    """(n, n//2+1) cos/sin bases for rfft: X = x @ (C - iS)."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    t = np.arange(n, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(t, k) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _irdft_basis(n: int):
+    """(n//2+1, n) bases for irfft: x = Re(X) @ A + Im(X) @ B."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    t = np.arange(n, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, t) / n
+    w = np.full(n // 2 + 1, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    a = (w[:, None] * np.cos(ang) / n).astype(np.float32)
+    b = (-w[:, None] * np.sin(ang) / n).astype(np.float32)
+    return a, b
+
+
+def _best_factorization(n: int) -> Optional[tuple]:
+    """Pick n = n1*n2 with n1,n2 as close to sqrt(n) as possible."""
+    best = None
+    r = int(np.sqrt(n))
+    for n1 in range(r, 1, -1):
+        if n % n1 == 0:
+            best = (n1, n // n1)
+            break
+    return best
+
+
+@functools.lru_cache(maxsize=16)
+def _ct_bases(n: int):
+    """Two-stage Cooley-Tukey constants for a full complex DFT of size n=n1*n2.
+
+    x viewed as (n1, n2) with index t = t1*n2 + t2;  output k = k1 + n1*k2.
+    X[k1, k2] = sum_t2 [ W_n^{t2*k1} * sum_t1 x[t1,t2] W_n1^{t1*k1} ] W_n2^{t2*k2}
+    i.e. DFT_n1 along axis0, twiddle, DFT_n2 along axis1.
+    """
+    n1, n2 = _best_factorization(n)
+    def dft_mat(m):
+        idx = np.arange(m)
+        w = np.exp(-2j * np.pi * np.outer(idx, idx) / m)
+        return w
+    f1 = dft_mat(n1)                                # (n1, n1) applied on t1
+    f2 = dft_mat(n2)                                # (n2, n2) applied on t2
+    t2 = np.arange(n2)[:, None]
+    k1 = np.arange(n1)[None, :]
+    tw = np.exp(-2j * np.pi * (t2 * k1) / n)        # (n2, n1)
+    return n1, n2, (f1.real.astype(np.float32), f1.imag.astype(np.float32)), \
+        (f2.real.astype(np.float32), f2.imag.astype(np.float32)), \
+        (tw.real.astype(np.float32), tw.imag.astype(np.float32))
+
+
+def _cmatmul(ar, ai, br, bi, prec=jax.lax.Precision.HIGHEST):
+    """(ar + i ai) @ (br + i bi) as four real MXU matmuls (3-mult Karatsuba
+    is slower on MXU than 4 plain matmuls due to extra adds)."""
+    rr = jnp.matmul(ar, br, precision=prec) - jnp.matmul(ai, bi, precision=prec)
+    ri = jnp.matmul(ar, bi, precision=prec) + jnp.matmul(ai, br, precision=prec)
+    return rr, ri
+
+
+def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    n1, n2, (f1r, f1i), (f2r, f2i), (twr, twi) = _ct_bases(n)
+    lead = x.shape[:-1]
+    xr = x.reshape(lead + (n1, n2)).astype(jnp.float32)
+    # stage 1: DFT over t1 (contract axis -2 with f1): y[k1, t2]
+    yr = jnp.einsum("...tn,tk->...kn", xr, f1r,
+                    precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.einsum("...tn,tk->...kn", xr, f1i,
+                    precision=jax.lax.Precision.HIGHEST)
+    # twiddle: multiply by W_n^{t2*k1}; y is (..., k1, t2), tw is (t2, k1)
+    twr_t, twi_t = twr.T, twi.T                    # (n1, n2)
+    zr = yr * twr_t - yi * twi_t
+    zi = yr * twi_t + yi * twr_t
+    # stage 2: DFT over t2: X[k1, k2] — contract last axis with f2
+    xrr, xri = _cmatmul(zr, zi, f2r, f2i)
+    # X[k] with k = k1 + n1*k2 -> transpose (k2 major)
+    full_r = jnp.swapaxes(xrr, -1, -2).reshape(lead + (n,))
+    full_i = jnp.swapaxes(xri, -1, -2).reshape(lead + (n,))
+    bins = n // 2 + 1
+    return jax.lax.complex(full_r[..., :bins], full_i[..., :bins])
+
+
+def rfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None) -> jnp.ndarray:
+    """Real FFT along the last axis -> complex (..., n//2+1)."""
+    n = n or x.shape[-1]
+    if _resolve(backend) == "fft":
+        return jnp.fft.rfft(x, n=n)
+    if x.shape[-1] != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    if n >= _FACTORIZE_MIN_N and _best_factorization(n) is not None \
+            and _best_factorization(n)[0] > 1:
+        return _rfft_matmul_ct(x, n)
+    c, s = _rdft_basis(n)
+    xr = x.astype(jnp.float32)
+    re = jnp.matmul(xr, c, precision=jax.lax.Precision.HIGHEST)
+    im = -jnp.matmul(xr, s, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.complex(re, im)
+
+
+def irfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None) -> jnp.ndarray:
+    """Inverse real FFT along the last axis -> real (..., n)."""
+    n = n or 2 * (x.shape[-1] - 1)
+    if _resolve(backend) == "fft":
+        return jnp.fft.irfft(x, n=n)
+    a, b = _irdft_basis(n)
+    re = jnp.real(x).astype(jnp.float32)
+    im = jnp.imag(x).astype(jnp.float32)
+    bins = n // 2 + 1
+    re, im = re[..., :bins], im[..., :bins]
+    return (jnp.matmul(re, a, precision=jax.lax.Precision.HIGHEST)
+            + jnp.matmul(im, b, precision=jax.lax.Precision.HIGHEST))
+
+
+def fft_c(xr: jnp.ndarray, xi: jnp.ndarray, n: int, backend: Optional[str] = None):
+    """Complex FFT along last axis given (real, imag) parts -> (real, imag).
+
+    Used by the MDCT/MCLT twiddle path where inputs are already split.
+    """
+    if _resolve(backend) == "fft":
+        out = jnp.fft.fft(jax.lax.complex(xr, xi), n=n)
+        return jnp.real(out), jnp.imag(out)
+    fr, fi = _full_dft_basis(n)
+    if xr.shape[-1] != n:
+        pad = [(0, 0)] * (xr.ndim - 1) + [(0, n - xr.shape[-1])]
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    return _cmatmul(xr.astype(jnp.float32), xi.astype(jnp.float32), fr, fi)
+
+
+@functools.lru_cache(maxsize=16)
+def _full_dft_basis(n: int):
+    idx = np.arange(n, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(idx, idx) / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)

@@ -1,0 +1,85 @@
+"""Fast Griffin-Lim (FGLA) phase reconstruction with momentum and
+stereo-coherent annealing, as a single jitted ``lax.fori_loop``.
+
+Semantics match the reference's griffinlim
+(reference: src/modules/formats/old/phase_recovery.py:39-129):
+
+  * momentum' = momentum / (1 + momentum); update
+    ``angles = normalize(rebuilt - momentum' * prev)`` (FISTA-style).
+  * flat (all-ones) phase init by default, optional random init.
+  * stereo-coherent annealing: iterate on the L/R-merged magnitude, lerping
+    toward per-channel magnitudes only once i/n_iter exceeds
+    ``stereo_coherence`` (reference :62-90).
+
+TPU-first differences: the whole loop runs on-device under jit (the
+reference runs a Python loop of cuFFT calls); complex spectra are carried as
+(real, imag) pairs so every FFT routes through ops.fft's matmul backend on
+TPU; iteration count is a static trace-time constant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stft import istft as _istft, stft as _sfft
+
+
+def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
+               hop_length: int, n_iter: int = 200, momentum: float = 0.99,
+               stereo: bool = True, stereo_coherence: float = 0.67,
+               length: Optional[int] = None, rand_init: bool = False,
+               key: Optional[jax.Array] = None,
+               backend: Optional[str] = None) -> jnp.ndarray:
+    """Reconstruct audio from magnitudes.
+
+    specgram: (B, C, frames, bins) linear magnitudes (note frames-major
+    layout, unlike the reference's (.., bins, frames)).
+    Returns (B, C, T) with T = (frames-1)*hop (or ``length``).
+    """
+    if not 0 <= momentum < 1:
+        raise ValueError(f"momentum must be in [0, 1), got {momentum}")
+    mom = momentum / (1.0 + momentum)
+
+    b, c = specgram.shape[:2]
+    spec = specgram.astype(jnp.float32)
+    if stereo and c > 1:
+        merged = jnp.mean(spec, axis=1, keepdims=True)
+        merged = jnp.broadcast_to(merged, spec.shape)
+    else:
+        merged = spec
+
+    if rand_init:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kr, ki = jax.random.split(key)
+        ang_r = jax.random.normal(kr, spec.shape, jnp.float32)
+        ang_i = jax.random.normal(ki, spec.shape, jnp.float32)
+    else:
+        ang_r = jnp.ones_like(spec)
+        ang_i = jnp.zeros_like(spec)
+
+    istft_fn = partial(_istft, window=window, n_fft=n_fft,
+                       hop_length=hop_length, backend=backend)
+    stft_fn = partial(_sfft, window=window, n_fft=n_fft,
+                      hop_length=hop_length, backend=backend)
+
+    def body(i, carry):
+        ang_r, ang_i, prev_r, prev_i = carry
+        t = i.astype(jnp.float32) / n_iter - stereo_coherence
+        interp = jnp.where(t > 0.0, merged + (spec - merged) * t, merged)
+        inverse = istft_fn(jax.lax.complex(ang_r * interp, ang_i * interp))
+        rebuilt = stft_fn(inverse)
+        rr, ri = jnp.real(rebuilt), jnp.imag(rebuilt)
+        nr = rr - mom * prev_r
+        ni = ri - mom * prev_i
+        mag = jnp.sqrt(nr * nr + ni * ni) + 1e-16
+        return nr / mag, ni / mag, rr, ri
+
+    init = (ang_r, ang_i, jnp.zeros_like(ang_r), jnp.zeros_like(ang_i))
+    ang_r, ang_i, _, _ = jax.lax.fori_loop(0, n_iter, body, init)
+    return istft_fn(jax.lax.complex(ang_r * spec, ang_i * spec), length=length)
