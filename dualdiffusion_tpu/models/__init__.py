@@ -1,0 +1,6 @@
+from . import mp
+from .layers import (MPConv, MPFourier, AdaptiveGroupBalance,
+                     FilteredDownsample2D, normalize_weight,
+                     filtered_downsample_1d, filtered_upsample_1d,
+                     filtered_downsample_2d, filtered_upsample_2d,
+                     filtered_mp_silu_2d, MP_WEIGHT_NAME, RAW_WEIGHT_NAME)

@@ -1,0 +1,276 @@
+"""Magnitude-preserving NN layers (flax.linen), channel-last.
+
+Layer parity with the reference's module-level mp tools
+(reference: src/modules/mp_tools.py:316-495 — MPFourier, MPConv, MPConv3D,
+AdaptiveGroupBalance, FilteredDownsample2D — and src/utils/resample.py:28-270
+— kaiser-windowed-sinc filtered resamplers and filtered MP-SiLU).
+
+Conventions:
+  * activations are channel-LAST: (B, ..., C); 2D convs take (B, H, W, C),
+    3D stereo-folded convs take (B, Z, H, W, C).
+  * MP conv weights are stored reference-style as (out, in/groups, *kernel)
+    under the param name ``w_mp`` (or ``w_raw`` when weight norm is
+    disabled). The trainer's forced weight re-normalization
+    (reference: mp_tools.py:375-378 + trainer.py:1107-1108) is an optax
+    transform that renormalizes every ``w_mp`` leaf after each optimizer
+    step; during training forward passes the weight is also normalized
+    in-graph (reference: mp_tools.py:361-364).
+  * under jit the training-time normalize is fused into the conv by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mp import mp_silu, mp_sum_groups, normalize
+
+MP_WEIGHT_NAME = "w_mp"
+RAW_WEIGHT_NAME = "w_raw"
+
+
+def normalize_weight(w: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    """Per-output-channel unit-RMS weight norm (axis 0 = out channels)."""
+    return normalize(w, axis=tuple(range(1, w.ndim)), eps=eps)
+
+
+class MPConv(nn.Module):
+    """Weight-normalized magnitude-preserving conv / linear.
+
+    kernel () -> linear; (kh, kw) -> 2D conv; (kz, kh, kw) -> 3D conv over
+    (B, Z, H, W, C). kz == 2 wraps the stereo dim circularly
+    (reference: mp_tools.py:440-445); kz in (1, 3) uses same-padding.
+    """
+    in_channels: int
+    out_channels: int
+    kernel: Tuple[int, ...] = ()
+    groups: int = 1
+    stride: int = 1
+    disable_weight_norm: bool = False
+    use_bias: bool = False
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, gain: Union[float, jnp.ndarray] = 1.0,
+                 training: bool = False) -> jnp.ndarray:
+        kshape = (self.out_channels, self.in_channels // self.groups) + tuple(self.kernel)
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.normal(1.0)
+        name = RAW_WEIGHT_NAME if self.disable_weight_norm else MP_WEIGHT_NAME
+        w = self.param(name, init, kshape, jnp.float32)
+
+        if training and not self.disable_weight_norm:
+            w = normalize_weight(w)
+        fan_in = int(np.prod(kshape[1:]))
+        w = w / np.sqrt(fan_in)
+
+        scalar_gain = not (isinstance(gain, jnp.ndarray) and gain.ndim > 0)
+        if scalar_gain:
+            w = w * gain
+
+        if len(self.kernel) == 0:
+            out = jnp.matmul(x, w.T.astype(x.dtype))
+        else:
+            out = self._conv(x, w)
+
+        if not scalar_gain:
+            if gain.ndim == 2:  # (B, C_out) -> (B, 1, ..., 1, C_out)
+                g = gain.reshape((gain.shape[0],) + (1,) * (out.ndim - 2) + (gain.shape[1],))
+            else:               # (B,) -> (B, 1, ..., 1)
+                g = gain.reshape(gain.shape + (1,) * (out.ndim - gain.ndim))
+            out = out * g.astype(out.dtype)
+
+        if self.use_bias:
+            group_dim = self.out_channels // self.groups
+            sign = np.where(np.arange(self.out_channels) % 2 == 0, 1.0, -1.0)
+            bias = self.param("bias", lambda key, s: jnp.asarray(
+                sign / np.sqrt(group_dim), jnp.float32), (self.out_channels,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+    def _conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        w = w.astype(x.dtype)
+        nd = len(self.kernel)
+        if nd == 2:
+            kh, kw = self.kernel
+            # torch pads (k//2, k//2) on both sides
+            pads = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+            rhs = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
+            dn = jax.lax.conv_dimension_numbers(x.shape, rhs.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                x, rhs, window_strides=(self.stride, self.stride),
+                padding=pads, dimension_numbers=dn,
+                feature_group_count=self.groups)
+        if nd == 3:
+            kz, kh, kw = self.kernel
+            if kz == 2:  # circular stereo wrap: append z=0 plane
+                x = jnp.concatenate([x, x[:, 0:1]], axis=1)
+                pad_z = (0, 0)
+            elif kz == 3:
+                pad_z = (1, 1)
+            else:
+                pad_z = (0, 0)
+            pads = [pad_z, (kh // 2, kh // 2), (kw // 2, kw // 2)]
+            rhs = jnp.transpose(w, (2, 3, 4, 1, 0))  # DHWIO
+            dn = jax.lax.conv_dimension_numbers(x.shape, rhs.shape,
+                                                ("NDHWC", "DHWIO", "NDHWC"))
+            return jax.lax.conv_general_dilated(
+                x, rhs, window_strides=(1, self.stride, self.stride),
+                padding=pads, dimension_numbers=dn,
+                feature_group_count=self.groups)
+        raise ValueError(f"unsupported kernel rank {nd}")
+
+
+class MPFourier(nn.Module):
+    """MP Fourier features with erfinv-spaced freqs + alternating pi/2
+    phases (reference: mp_tools.py:316-330; EDM2 eq. 75)."""
+    num_channels: int
+    bandwidth: float = 1.0
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from scipy.special import erfinv
+        freqs = np.pi * erfinv(np.linspace(0, 1 - self.eps, self.num_channels)) * self.bandwidth
+        phases = np.pi / 2 * (np.arange(self.num_channels) % 2 == 0)
+        xf = x.astype(jnp.float32)
+        fa = jnp.asarray(freqs, jnp.float32)
+        pa = jnp.asarray(phases, jnp.float32)
+        if x.ndim == 1:  # (B,) -> (B, C)
+            y = xf[:, None] * fa[None, :] + pa
+        else:  # channel-last map (B, ..., 1) -> (B, ..., C)
+            assert x.shape[-1] == 1, "map input must have a single channel"
+            y = xf * fa + pa
+        return (jnp.cos(y) * np.sqrt(2.0)).astype(x.dtype)
+
+
+class AdaptiveGroupBalance(nn.Module):
+    """Learned per-group mp_sum balance conditioned on emb, sigmoid-clipped
+    (reference: mp_tools.py:380-411)."""
+    emb_channels: int
+    groups: int = 1
+    balance_logits_offset: float = 0.0
+    min_balance: float = 0.1
+    max_balance: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray, emb: Optional[jnp.ndarray],
+                 training: bool = False) -> jnp.ndarray:
+        if self.emb_channels > 0:
+            balance = MPConv(self.emb_channels, self.groups, kernel=(),
+                             disable_weight_norm=True, zero_init=True,
+                             name="emb_balance")(emb, training=training)
+        else:
+            balance = self.param("balance", nn.initializers.zeros, (self.groups,))
+            balance = jnp.broadcast_to(balance, (x.shape[0], self.groups))
+        balance = jax.nn.sigmoid(balance + self.balance_logits_offset)
+        balance = jnp.clip(balance, self.min_balance, self.max_balance)
+        return mp_sum_groups(x, y, balance, self.groups)
+
+
+# ---------------------------------------------------------------------------
+# filtered (anti-aliased) resamplers — StyleGAN3-style
+# ---------------------------------------------------------------------------
+
+def _kaiser_sinc_1d(size: int, cutoff: float, beta: float) -> np.ndarray:
+    from ..ops.windows import kaiser
+    x = (np.arange(size) - (size - 1) / 2) * np.pi * cutoff
+    sinc = np.where(x == 0, 1.0, np.sin(x) / np.where(x == 0, 1.0, x))
+    k = sinc * kaiser(size, beta=beta, periodic=False)
+    return (k / k.sum()).astype(np.float64)
+
+
+def _sep_conv_axis(x: jnp.ndarray, kernel: np.ndarray, axis: int, stride: int,
+                   pad_mode: str = "reflect") -> jnp.ndarray:
+    """Depthwise 1D filter along ``axis`` of a channel-last tensor, with
+    reference-matching asymmetric reflect padding (resample.py:49-53)."""
+    ks = kernel.shape[0]
+    even = ks % 2 == 0
+    hk = ks // 2
+    if stride == 1:
+        pad = (hk, hk - even)
+    else:
+        pad = (hk - even, hk)
+    padw = [(0, 0)] * x.ndim
+    padw[axis] = pad
+    x = jnp.pad(x, padw, mode=pad_mode)
+    # move axis next to last, conv as NWC depthwise
+    x_m = jnp.moveaxis(x, axis, -2)
+    lead = x_m.shape[:-2]
+    t, c = x_m.shape[-2], x_m.shape[-1]
+    x2 = x_m.reshape((-1, t, c))
+    rhs = jnp.asarray(kernel, x.dtype)[:, None, None] * jnp.ones((1, 1, c), x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x2.shape, rhs.shape, ("NWC", "WIO", "NWC"))
+    y = jax.lax.conv_general_dilated(x2, rhs, window_strides=(stride,),
+                                     padding="VALID", dimension_numbers=dn,
+                                     feature_group_count=c)
+    return jnp.moveaxis(y.reshape(lead + y.shape[1:]), -2, axis)
+
+
+def filtered_downsample_1d(x: jnp.ndarray, k_size: int = 7, beta: float = 1.5,
+                           factor: int = 2) -> jnp.ndarray:
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta)
+    return _sep_conv_axis(x, k, axis=-2, stride=factor)
+
+
+def filtered_upsample_1d(x: jnp.ndarray, k_size: int = 15, beta: float = 1.5,
+                         factor: int = 2) -> jnp.ndarray:
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta) * factor
+    t = x.shape[-2]
+    z = jnp.zeros(x.shape[:-2] + (t * factor, x.shape[-1]), x.dtype)
+    z = z.at[..., ::factor, :].set(x)
+    return _sep_conv_axis(z, k, axis=-2, stride=1)
+
+
+def filtered_downsample_2d(x: jnp.ndarray, k_size: int = 7, beta: float = 1.5,
+                           factor: int = 2) -> jnp.ndarray:
+    """(..., H, W, C) separable anti-aliased downsample."""
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta)
+    x = _sep_conv_axis(x, k, axis=-2, stride=factor)   # W
+    x = _sep_conv_axis(x, k, axis=-3, stride=factor)   # H
+    return x
+
+
+def filtered_upsample_2d(x: jnp.ndarray, k_size: int = 15, beta: float = 1.5,
+                         factor: int = 2) -> jnp.ndarray:
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta) * factor
+    h, w = x.shape[-3], x.shape[-2]
+    z = jnp.zeros(x.shape[:-3] + (h * factor, w * factor, x.shape[-1]), x.dtype)
+    z = z.at[..., ::factor, ::factor, :].set(x)
+    z = _sep_conv_axis(z, k, axis=-2, stride=1)
+    z = _sep_conv_axis(z, k, axis=-3, stride=1)
+    return z
+
+
+def filtered_mp_silu_2d(x: jnp.ndarray, k_size: int = 7, beta: float = 1.5) -> jnp.ndarray:
+    """Alias-suppressed MP-SiLU: upsample 2x -> silu -> downsample 2x
+    (reference: resample.py:155-165)."""
+    up = filtered_upsample_2d(x, k_size=k_size * 2 + k_size % 2, beta=beta, factor=2)
+    return filtered_downsample_2d(mp_silu(up), k_size=k_size, beta=beta, factor=2)
+
+
+class FilteredDownsample2D(nn.Module):
+    """sin^2-separable FIR anti-aliased strided downsample used by the
+    supersampled-latent DAE encoders (reference: mp_tools.py:455-495)."""
+    kernel: int = 16
+    stride: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = np.sin(np.arange(self.kernel) / self.kernel * np.pi)
+        k2 = k[:, None] * k[None, :]
+        k2 = (k2 / k2.sum()).astype(np.float64)
+        p1 = self.kernel // 2
+        p2 = self.kernel // 2 - (self.kernel + 1) % 2
+        padw = [(0, 0)] * (x.ndim - 3) + [(p1, p2), (p1, p2), (0, 0)]
+        xp = jnp.pad(x, padw, mode="reflect")
+        c = x.shape[-1]
+        rhs = jnp.asarray(k2, x.dtype)[:, :, None, None] * jnp.ones((1, 1, 1, c), x.dtype)
+        dn = jax.lax.conv_dimension_numbers(xp.shape, rhs.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xp, rhs, window_strides=(self.stride, self.stride), padding="VALID",
+            dimension_numbers=dn, feature_group_count=c)
