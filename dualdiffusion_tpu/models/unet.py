@@ -1,0 +1,390 @@
+"""EDM2 magnitude-preserving UNet (flax.linen, channel-last, TPU-native).
+
+One parameterized implementation covering the reference's UNet roles
+(SURVEY.md §2.4 — "one parameterized implementation per role"):
+
+  * latent-diffusion MP-UNet (reference: src/modules/unets/unet_edm2_d1.py
+    :90-330): stereo-folded 3D convs (z-wraparound), encoder pixel norm,
+    emb-modulated residual blocks with mp_sum balance, emb-modulated
+    q/k-normalized self-attention, CFG-ready label embeddings.
+  * diffusion decoder / DDEC (reference: src/modules/unets/
+    unet_edm2_q4_ddec.py:152-303): 2D convs, no label embedding, linear-PSD
+    reference conditioning folded to channels and mp_cat'd with the input.
+
+EDM2 preconditioning is in-model (reference: unet_edm2_q4_ddec.py:260-303):
+c_skip/c_out/c_in/c_noise with bf16 internals and fp32 io. The per-sigma
+loss logvar head (logvar_linear(logvar_fourier(log sigma/4))) drives the NLL
+loss weight and adaptive sigma sampling.
+
+Attention is configurable per SURVEY.md §5.7: "freq" merges time (and
+stereo) into batch — attention cost linear in clip length; "time" merges
+freq into batch; "full" attends over all positions (the d1 behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import MPConv, MPFourier
+from .mp import mp_cat, mp_silu, mp_sum, normalize, resample_2d, resample_3d
+
+
+@dataclass
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    in_channels_emb: int = 0            # label/CLAP embedding dim (0 = none)
+    in_num_freqs: int = 256
+    in_psd_freqs: int = 0               # DDEC: linear PSD bins in x_ref (0 = no ref)
+
+    sigma_max: float = 200.0
+    sigma_min: float = 0.03
+    sigma_data: float = 1.0
+
+    model_channels: int = 64
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    channel_mult_noise: Optional[int] = None
+    channel_mult_emb: Optional[int] = None
+    num_layers_per_block: int = 2
+    attn_levels: Tuple[int, ...] = ()
+    attn_axis: Literal["freq", "time", "full"] = "freq"
+    midblock_attn: bool = False
+    double_midblock: bool = False
+    channels_per_head: int = 64
+    label_balance: float = 0.5
+    concat_balance: float = 0.5
+    res_balance: float = 0.3
+    attn_balance: float = 0.3
+    clip_act: float = 256.0
+    mlp_multiplier: int = 1
+    mlp_groups: int = 1
+    emb_linear_groups: int = 1
+    dropout: float = 0.0
+    logvar_channels: int = 128
+    use_3d: bool = False                # stereo-folded (B, Z, H, W, C) convs
+    input_kernel: Tuple[int, int] = (3, 3)
+
+
+def _conv_kernel(cfg: UNetConfig, k: Tuple[int, int], kz: int = 1) -> Tuple[int, ...]:
+    return ((kz,) + k) if cfg.use_3d else k
+
+
+class UNetBlock(nn.Module):
+    """Emb-modulated MP residual block with optional self-attention
+    (reference: unet_edm2_d1.py:120-222 / unet_edm2_q4_ddec.py:71-151)."""
+    cfg: UNetConfig
+    in_channels: int
+    out_channels: int
+    emb_channels: int
+    flavor: Literal["enc", "dec"] = "enc"
+    resample_mode: Literal["keep", "up", "down"] = "keep"
+    use_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray],
+                 training: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        resample = resample_3d if cfg.use_3d else resample_2d
+        x = resample(x, mode=self.resample_mode)
+
+        if self.flavor == "enc":
+            if self.in_channels != self.out_channels:
+                x = MPConv(self.in_channels, self.out_channels,
+                           _conv_kernel(cfg, (1, 1), kz=2 if cfg.use_3d else 1),
+                           name="conv_skip")(x, training=training)
+            x = normalize(x, axis=-1)  # pixel norm
+
+        c_mid = self.out_channels * cfg.mlp_multiplier
+        c_in_res0 = self.out_channels if self.flavor == "enc" else self.in_channels
+        y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
+                   groups=cfg.mlp_groups, name="conv_res0")(mp_silu(x), training=training)
+
+        if self.emb_channels > 0 and emb is not None:
+            emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
+            c = MPConv(self.emb_channels, c_mid, (), groups=cfg.emb_linear_groups,
+                       name="emb_linear")(emb, gain=emb_gain, training=training) + 1.0
+            c = c.reshape((c.shape[0],) + (1,) * (y.ndim - 2) + (c.shape[-1],))
+            y = y * c.astype(y.dtype)
+        y = mp_silu(y)
+
+        if cfg.dropout > 0 and training:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, y.shape)
+            # magnitude-preserving dropout fix (reference: _d1.py:186-187)
+            y = jnp.where(keep, y / (1.0 - cfg.dropout), 0.0) * (1.0 - cfg.dropout) ** 0.5
+
+        y = MPConv(c_mid, self.out_channels, _conv_kernel(cfg, (3, 3)),
+                   groups=cfg.mlp_groups, name="conv_res1")(y, training=training)
+
+        if self.flavor == "dec" and self.in_channels != self.out_channels:
+            x = MPConv(self.in_channels, self.out_channels,
+                       _conv_kernel(cfg, (1, 1), kz=2 if cfg.use_3d else 1),
+                       name="conv_skip")(x, training=training)
+        x = mp_sum(x, y, t=cfg.res_balance)
+
+        if self.use_attention:
+            x = self._attention(x, emb, training)
+
+        if cfg.clip_act is not None:
+            x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
+        return x
+
+    def _attention(self, x: jnp.ndarray, emb: Optional[jnp.ndarray],
+                   training: bool) -> jnp.ndarray:
+        """q/k-normalized SDPA with emb-modulated qk and v gains
+        (reference: unet_edm2_d1.py:196-217)."""
+        cfg = self.cfg
+        ch = self.out_channels
+        num_heads = max(ch // cfg.channels_per_head, 1)
+
+        def modulate(name: str):
+            if self.emb_channels > 0 and emb is not None:
+                g = self.param(f"emb_gain_{name}", nn.initializers.zeros, ())
+                c = MPConv(self.emb_channels, ch, (), name=f"emb_linear_{name}")(
+                    emb, gain=g, training=training) + 1.0
+                return c.reshape((c.shape[0],) + (1,) * (x.ndim - 2) + (ch,)).astype(x.dtype)
+            return jnp.ones((), x.dtype)
+
+        qk = MPConv(ch, ch * 2, _conv_kernel(cfg, (1, 1)), name="attn_qk")(
+            x * modulate("qk"), training=training)
+        v = MPConv(ch, ch, _conv_kernel(cfg, (1, 1)), name="attn_v")(
+            x, training=training)
+
+        # fold spatial dims into (batch', seq) per attn_axis
+        spatial = x.shape[1:-1]           # (H, W) or (Z, H, W)
+        b = x.shape[0]
+
+        def to_seq(t: jnp.ndarray, channels: int):
+            if cfg.attn_axis == "full":
+                seq = int(np.prod(spatial))
+                return t.reshape(b, seq, channels), (b,) + spatial
+            if cfg.attn_axis == "freq":
+                # sequence = freq axis (H); batch' = B * (Z?) * W
+                h_ax = 2 if cfg.use_3d else 1
+                perm = list(range(t.ndim))
+                perm.remove(h_ax)
+                perm.insert(t.ndim - 2, h_ax)
+                tp = jnp.transpose(t, perm)  # (..., H, C)
+                lead = tp.shape[:-2]
+                return tp.reshape(int(np.prod(lead)), t.shape[h_ax], channels), lead
+            # "time": sequence = W (axis -2 of spatial)
+            return t.reshape(-1, t.shape[-2], channels), t.shape[:-2]
+
+        qk_s, lead = to_seq(qk, ch * 2)
+        v_s, _ = to_seq(v, ch)
+        bs, seq = qk_s.shape[0], qk_s.shape[1]
+        hd = ch // num_heads
+        qk_h = qk_s.reshape(bs, seq, num_heads, 2, hd)
+        q = normalize(qk_h[..., 0, :], axis=-1)
+        k = normalize(qk_h[..., 1, :], axis=-1)
+        vh = normalize(v_s.reshape(bs, seq, num_heads, hd), axis=-1)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(bs, seq, ch)
+
+        # undo the fold
+        if cfg.attn_axis == "full":
+            y = y.reshape((b,) + spatial + (ch,))
+        elif cfg.attn_axis == "freq":
+            h_ax = 2 if cfg.use_3d else 1
+            y = y.reshape(lead + (seq, ch))
+            perm = list(range(y.ndim))
+            perm.remove(y.ndim - 2)
+            perm.insert(h_ax, y.ndim - 2)
+            y = jnp.transpose(y, perm)
+        else:
+            y = y.reshape(x.shape[:-1] + (ch,))
+
+        y = mp_silu(y * modulate("v"))
+        y = MPConv(ch, ch, _conv_kernel(cfg, (1, 1)), name="attn_proj")(
+            y, training=training)
+        return mp_sum(x, y, t=cfg.attn_balance)
+
+
+class UNetCore(nn.Module):
+    """EDM2-preconditioned MP-UNet trunk.
+
+    __call__(x, sigma, embeddings, x_ref, training) -> D_x
+      x: (B, H, W, C) or (B, Z, H, W, C) fp32
+      sigma: (B,) fp32
+      embeddings: (B, cemb) or None (from UNet.get_embeddings)
+      x_ref: (B, psd_bins, W, C) linear PSD conditioning (DDEC) or None
+    """
+    cfg: UNetConfig
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.cfg.channel_mult)
+
+    def _cemb(self) -> int:
+        cfg = self.cfg
+        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+        cemb = cfg.model_channels * cfg.channel_mult_emb if cfg.channel_mult_emb else max(cblock)
+        return cemb * cfg.mlp_multiplier
+
+    def _cnoise(self) -> int:
+        cfg = self.cfg
+        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+        return cfg.model_channels * cfg.channel_mult_noise if cfg.channel_mult_noise else max(cblock)
+
+    @nn.compact
+    def __call__(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
+                 embeddings: Optional[jnp.ndarray] = None,
+                 x_ref: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.bfloat16
+
+        # ---- preconditioning (fp32) --------------------------------------
+        sigma = sigma.reshape((-1,) + (1,) * (x_in.ndim - 1)).astype(jnp.float32)
+        sd = cfg.sigma_data
+        c_skip = sd ** 2 / (sigma ** 2 + sd ** 2)
+        c_out = sigma * sd / jnp.sqrt(sigma ** 2 + sd ** 2)
+        c_in = 1.0 / jnp.sqrt(sd ** 2 + sigma ** 2)
+        c_noise = jnp.log(sigma.reshape(-1)) / 4.0
+
+        x = (c_in * x_in.astype(jnp.float32)).astype(dtype)
+
+        if x_ref is not None and cfg.in_psd_freqs > 0:
+            # (B, psd_bins, W, C) -> fold psd rows into channels aligned to
+            # the model's freq rows (reference: unet_edm2_q4_ddec.py:269-271)
+            b, pbins, w, c = x_ref.shape
+            per = cfg.in_psd_freqs // cfg.in_num_freqs
+            r = x_ref.reshape(b, cfg.in_num_freqs, per, w, c)
+            r = jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(b, cfg.in_num_freqs, w, per * c)
+            x = mp_cat(x, r.astype(dtype), axis=-1, t=cfg.label_balance)
+
+        # ---- embedding -----------------------------------------------------
+        cemb = self._cemb()
+        emb = MPFourier(self._cnoise(), name="emb_fourier")(c_noise)
+        emb = MPConv(self._cnoise(), cemb, (), name="emb_noise")(emb, training=training)
+        if cfg.in_channels_emb > 0 and embeddings is not None:
+            emb = mp_silu(mp_sum(emb, embeddings.astype(emb.dtype), t=cfg.label_balance))
+        emb = emb.astype(dtype)
+
+        # ---- encoder ---------------------------------------------------------
+        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+        cout = x.shape[-1]
+        skips = []
+        for level, channels in enumerate(cblock):
+            if level == 0:
+                cin, cout = cout, channels
+                x = MPConv(cin, cout, _conv_kernel(cfg, cfg.input_kernel),
+                           use_bias=True, name="enc_conv_in")(x, training=training)
+                skips.append((x, cout))
+            else:
+                x = UNetBlock(cfg, cout, cout, cemb, flavor="enc",
+                              resample_mode="down",
+                              use_attention=level in cfg.attn_levels,
+                              name=f"enc_b{level}_down")(x, emb, training)
+                skips.append((x, cout))
+            for idx in range(cfg.num_layers_per_block):
+                cin, cout = cout, channels
+                x = UNetBlock(cfg, cin, cout, cemb, flavor="enc",
+                              use_attention=level in cfg.attn_levels,
+                              name=f"enc_b{level}_l{idx}")(x, emb, training)
+                skips.append((x, cout))
+
+        # ---- decoder -----------------------------------------------------------
+        for level, channels in reversed(list(enumerate(cblock))):
+            if level == len(cblock) - 1:
+                x = UNetBlock(cfg, cout, cout, cemb, flavor="dec",
+                              use_attention=cfg.midblock_attn,
+                              name=f"dec_b{level}_in0")(x, emb, training)
+                if cfg.double_midblock:
+                    x = UNetBlock(cfg, cout, cout, cemb, flavor="dec",
+                                  use_attention=cfg.midblock_attn,
+                                  name=f"dec_b{level}_in1")(x, emb, training)
+            else:
+                x = UNetBlock(cfg, cout, cout, cemb, flavor="dec",
+                              resample_mode="up",
+                              use_attention=level in cfg.attn_levels,
+                              name=f"dec_b{level}_up")(x, emb, training)
+            for idx in range(cfg.num_layers_per_block + 1):
+                skip_x, skip_c = skips.pop()
+                x = mp_cat(x, skip_x, axis=-1, t=cfg.concat_balance)
+                cin, cout = cout + skip_c, channels
+                x = UNetBlock(cfg, cin, cout, cemb, flavor="dec",
+                              use_attention=level in cfg.attn_levels,
+                              name=f"dec_b{level}_l{idx}")(x, emb, training)
+
+        out_gain = self.param("out_gain", nn.initializers.zeros, ())
+        x = MPConv(cout, cfg.out_channels, _conv_kernel(cfg, (3, 3)),
+                   name="conv_out")(x, gain=out_gain, training=training)
+
+        return c_skip * x_in.astype(jnp.float32) + c_out * x.astype(jnp.float32)
+
+
+class UNet(nn.Module):
+    """MP-UNet with its auxiliary heads (one param tree, multiple methods —
+    reference API surface: src/modules/unets/unet.py:44-66)."""
+    cfg: UNetConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.core = UNetCore(cfg)
+        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+        cemb = cfg.model_channels * cfg.channel_mult_emb if cfg.channel_mult_emb else max(cblock)
+        self._cemb_dim = cemb * cfg.mlp_multiplier
+        if cfg.in_channels_emb > 0:
+            self.emb_label = MPConv(cfg.in_channels_emb, self._cemb_dim, ())
+            self.emb_label_unconditional = MPConv(1, self._cemb_dim, ())
+        self.logvar_fourier = MPFourier(cfg.logvar_channels)
+        self.logvar_linear = MPConv(cfg.logvar_channels, 1, (),
+                                    disable_weight_norm=True, zero_init=True)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.cfg.channel_mult)
+
+    def __call__(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
+                 embeddings: Optional[jnp.ndarray] = None,
+                 x_ref: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        return self.core(x_in, sigma, embeddings, x_ref, training)
+
+    def init_all(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
+                 emb_in: Optional[jnp.ndarray] = None,
+                 x_ref: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Initialization entry point touching every head (flax only creates
+        params for modules traced at init). Use
+        ``model.init(key, x, sigma, emb_in, x_ref, method=UNet.init_all)``.
+        """
+        emb = None
+        if self.cfg.in_channels_emb > 0 and emb_in is not None:
+            emb = self.get_embeddings(emb_in, jnp.ones((x_in.shape[0],), x_in.dtype))
+        self.get_sigma_loss_logvar(sigma)
+        return self.core(x_in, sigma, emb, x_ref, False)
+
+    def get_embeddings(self, emb_in: jnp.ndarray, conditioning_mask: jnp.ndarray,
+                       training: bool = False) -> Optional[jnp.ndarray]:
+        """CFG label embedding: mp_sum(unconditional, conditional, t=mask)
+        (reference: unet_edm2_d1.py get_embeddings / q4_ddec.py:238-244)."""
+        if self.cfg.in_channels_emb <= 0:
+            return None
+        u = self.emb_label_unconditional(jnp.ones((1, 1), emb_in.dtype),
+                                         training=training)
+        c = self.emb_label(normalize(emb_in, axis=-1), training=training)
+        return mp_sum(u, c, t=conditioning_mask[:, None])
+
+    def get_sigma_loss_logvar(self, sigma: jnp.ndarray,
+                              training: bool = False) -> jnp.ndarray:
+        """Learned per-sigma uncertainty (B,) -> (B, 1, 1, 1)."""
+        f = self.logvar_fourier(jnp.log(sigma.reshape(-1)) / 4.0)
+        lv = self.logvar_linear(f, training=training)
+        return lv.reshape(-1, 1, 1, 1).astype(jnp.float32)
+
+    def get_latent_shape(self, latent_shape: Sequence[int]) -> Tuple[int, ...]:
+        ds = 2 ** (self.num_levels - 1)
+        if len(latent_shape) == 4:  # (B, H, W, C)
+            return (latent_shape[0], latent_shape[1] // ds * ds,
+                    latent_shape[2] // ds * ds, latent_shape[3])
+        return (latent_shape[0], latent_shape[1], latent_shape[2] // ds * ds,
+                latent_shape[3] // ds * ds, latent_shape[4])

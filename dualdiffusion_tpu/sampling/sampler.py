@@ -1,0 +1,208 @@
+"""The EDM sampler loop as a single jitted ``lax.scan``.
+
+Capability parity with the reference's sampling loops
+(reference: src/pipelines/dual_diffusion_pipeline.py:350-752):
+
+  * CFG via doubled batch and ``uncond.lerp(cond, cfg_scale)`` (:488,700-703)
+  * optional 2nd-order Heun correction (:504-516,705-721)
+  * "added noise in sampling": cosh-shaped effective input perturbation
+    shrinks sigma_next, then noise sqrt(old^2 - new^2) is re-added
+    (:493-529,682-737)
+  * per-step re-normalization to the expected std (:531)
+  * seamless-loop generation on a torus: per-step random roll + fixed
+    32-column circular pad (:467-474,651-658), final crossfade blend
+    (:573-582)
+  * img2img init and inpainting reference channels (:427-447)
+  * stereo-fix noise correlation (:638-641)
+
+TPU-first design: every per-step scalar (sigma_curr, sigma_next before/after
+perturbation, lerp t, re-added noise amplitude, renorm target) is precomputed
+host-side into scan-carried arrays, so the loop body is shape-static and the
+whole sampler jits once. The reference's per-step roll+pad (dynamic shapes)
+becomes a traced roll + fixed-width circular pad.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mp import normalize
+from .schedule import get_schedule
+
+
+@dataclass
+class SampleParams:
+    """Sampling parameters (reference: dual_diffusion_pipeline.py:48-101)."""
+    steps: int = 100
+    seed: Optional[int] = None
+    batch_size: int = 1
+    length: Optional[int] = None
+
+    cfg_scale: float = 1.5
+    sigma_max: Optional[float] = None
+    sigma_min: Optional[float] = None
+    sigma_data: Optional[float] = None
+    schedule: str = "edm2"
+    rho: float = 7.0
+
+    use_heun: bool = True
+    input_perturbation: float = 1.0
+    input_perturbation_offset: float = 0.0
+    num_fgla_iters: int = 200
+
+    img2img_strength: float = 0.5
+    seamless_loop: bool = False
+    stereo_fix: float = 0.0        # noise correlation between stereo channels
+
+    prompt: Dict[str, float] = field(default_factory=dict)
+
+
+LOOP_PAD = 32  # seamless-loop circular pad columns (reference :655-658)
+
+
+def _per_step_constants(params: SampleParams, sigma_max: float, sigma_min: float,
+                        sigma_data: float):
+    """Precompute all per-step scalars host-side (float64)."""
+    sched = get_schedule(params.schedule, params.steps, sigma_max=sigma_max,
+                         sigma_min=sigma_min, rho=params.rho)
+    sigma_curr = sched[:-1].astype(np.float64)
+    sigma_next_sched = sched[1:].astype(np.float64)
+
+    eff = params.input_perturbation * (
+        1.0 - 1.0 / np.cosh(np.log(sigma_next_sched * sigma_curr) / 2.0
+                            + params.input_perturbation_offset)) ** 2
+    eff = np.clip(eff, 0.0, 1.0)
+    old_sigma_next = sigma_next_sched.copy()
+    sigma_next = sigma_next_sched * (1.0 - eff)
+
+    n = params.steps
+    t_lerp = np.where(np.arange(n) + 1 < n, sigma_next / sigma_curr, 0.0)
+    sigma_hat = np.maximum(old_sigma_next, sigma_min)
+    t_hat = sigma_hat / sigma_curr
+    readd = np.where(np.arange(n) + 1 < n,
+                     np.sqrt(np.maximum(old_sigma_next ** 2 - sigma_next ** 2, 0.0)),
+                     0.0)
+    renorm = np.sqrt(old_sigma_next ** 2 + sigma_data ** 2)
+    return {k: jnp.asarray(v, jnp.float32) for k, v in dict(
+        sigma_curr=sigma_curr, sigma_next=sigma_next, t_lerp=t_lerp,
+        sigma_hat=sigma_hat, t_hat=t_hat, readd=readd, renorm=renorm).items()}, sched
+
+
+def _circular_pad_w(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Fixed-width circular pad on the time axis (axis -2 of NHWC);
+    wrap mode handles pad widths larger than the axis."""
+    padw = [(0, 0)] * x.ndim
+    padw[-2] = (pad, pad)
+    return jnp.pad(x, padw, mode="wrap")
+
+
+def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+               sample_shape: Tuple[int, ...],
+               params: SampleParams,
+               sigma_max: float, sigma_min: float, sigma_data: float,
+               key: jax.Array,
+               init_sample: Optional[jnp.ndarray] = None,
+               return_debug: bool = True):
+    """Run the EDM sampler.
+
+    denoise_fn(x_doubled, sigma_doubled) -> D_x doubled-batch output; the
+    caller closes over unet params, CFG embeddings (cond first half, uncond
+    second half) and any x_ref conditioning, and handles the seamless-loop
+    circular pad columns if present.
+
+    sample_shape: (B, H, W, C) (latent or spectrogram space).
+    Returns (sample, debug) where sample is normalized to sigma_data.
+    """
+    consts, sched = _per_step_constants(params, sigma_max, sigma_min, sigma_data)
+    b = sample_shape[0]
+
+    key, nk = jax.random.split(key)
+    noise = _draw_noise(nk, sample_shape, params.stereo_fix)
+    if init_sample is not None:
+        sample = noise * sched[0] + init_sample.astype(jnp.float32) * sigma_data
+    else:
+        sample = noise * sched[0]
+
+    def step(carry, xs):
+        sample, key = carry
+        sc, sn, tl, sh, th, ra, rn = xs
+        key, k_noise, k_shift = jax.random.split(key, 3)
+
+        if params.seamless_loop:
+            shift = jax.random.randint(k_shift, (), 0, sample.shape[-2])
+            rolled = jnp.roll(sample, shift, axis=-2)
+            x = _circular_pad_w(rolled, LOOP_PAD)
+        else:
+            x = sample
+
+        x2 = jnp.concatenate([x, x], axis=0)
+        sig2 = jnp.full((2 * b,), sc, jnp.float32)
+        out = denoise_fn(x2, sig2).astype(jnp.float32)
+        cfg_out = out[b:] + (out[:b] - out[b:]) * params.cfg_scale
+
+        if params.use_heun:
+            x_hat = cfg_out + (x - cfg_out) * th
+            x_hat2 = jnp.concatenate([x_hat, x_hat], axis=0)
+            sig_hat2 = jnp.full((2 * b,), sh, jnp.float32)
+            out_hat = denoise_fn(x_hat2, sig_hat2).astype(jnp.float32)
+            cfg_hat = out_hat[b:] + (out_hat[:b] - out_hat[b:]) * params.cfg_scale
+            cfg_out = 0.5 * (cfg_out + cfg_hat)
+
+        new = cfg_out + (x - cfg_out) * tl
+
+        if params.seamless_loop:
+            new = jnp.roll(new[..., LOOP_PAD:-LOOP_PAD, :], -shift, axis=-2)
+            cfg_dbg = jnp.roll(cfg_out[..., LOOP_PAD:-LOOP_PAD, :], -shift, axis=-2)
+        else:
+            cfg_dbg = cfg_out
+
+        new = new + _draw_noise(k_noise, sample_shape, params.stereo_fix) * ra
+        new = normalize(new) * rn
+
+        dbg = {"sample_std": jnp.std(new), "cfg_output_mean": jnp.mean(cfg_dbg),
+               "cfg_output_std": jnp.std(cfg_dbg)}
+        return (new, key), dbg
+
+    xs = (consts["sigma_curr"], consts["sigma_next"], consts["t_lerp"],
+          consts["sigma_hat"], consts["t_hat"], consts["readd"], consts["renorm"])
+    (sample, _), dbg = jax.lax.scan(step, (sample, key), xs)
+    sample = normalize(sample) * sigma_data
+
+    debug = {"sigma_schedule": np.asarray(sched)}
+    if return_debug:
+        debug.update({k: v for k, v in dbg.items()})
+    return sample, debug
+
+
+def _draw_noise(key: jax.Array, shape: Tuple[int, ...], stereo_fix: float) -> jnp.ndarray:
+    """Gaussian noise with optional stereo correlation
+    (reference: dual_diffusion_pipeline.py:638-641): channels are blended
+    toward their mean by ``stereo_fix`` then renormalized."""
+    noise = jax.random.normal(key, shape, jnp.float32)
+    if stereo_fix > 0 and shape[-1] >= 2:
+        mean = jnp.mean(noise, axis=-1, keepdims=True)
+        mixed = noise + (mean - noise) * stereo_fix
+        # restore unit variance: var = (1-s)^2 + s^2/C ... approximate per-mix
+        std = jnp.std(mixed, axis=(-3, -2), keepdims=True) + 1e-8
+        noise = mixed / std
+    return noise
+
+
+def seamless_loop_crossfade(raw: jnp.ndarray, hop_length: int,
+                            exponent: float = 2.0 / 3.0) -> jnp.ndarray:
+    """Final crossfade blend for seamless-loop audio
+    (reference: dual_diffusion_pipeline.py:573-582)."""
+    loop_padding = int((LOOP_PAD - 0.5) * hop_length) * 2
+    w = jnp.arange(loop_padding, dtype=jnp.float32) / loop_padding
+    blended = (raw[..., -loop_padding:] * (1 - w) ** exponent
+               + raw[..., :loop_padding] * w ** exponent)
+    core = raw[..., loop_padding // 2: -loop_padding // 2]
+    out = core.at[..., : loop_padding // 2].set(blended[..., -loop_padding // 2:])
+    out = out.at[..., -loop_padding // 2:].set(blended[..., : loop_padding // 2])
+    return out

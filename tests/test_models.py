@@ -1,0 +1,198 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+from dualdiffusion_tpu.models.dae import DAE, DAEConfig, tiled_encode
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def tiny_unet_cfg(**kw):
+    d = dict(in_channels=4, out_channels=4, model_channels=16,
+             channel_mult=(1, 2), num_layers_per_block=1,
+             channels_per_head=16, logvar_channels=32)
+    d.update(kw)
+    return UNetConfig(**d)
+
+
+def test_unet_2d_forward(key):
+    cfg = tiny_unet_cfg()
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    sigma = jnp.array([1.0, 10.0])
+    params = model.init(key, x, sigma)
+    y = model.apply(params, x, sigma)
+    assert y.shape == x.shape
+    assert y.dtype == jnp.float32
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_unet_preconditioning_limits(key):
+    """At huge sigma, D_x ~ c_out*F (c_skip~0); at tiny sigma D_x ~ x."""
+    cfg = tiny_unet_cfg()
+    model = UNet(cfg)
+    x = jax.random.normal(key, (1, 16, 16, 4))
+    params = model.init(key, x, jnp.array([1.0]))
+    y_small = model.apply(params, x, jnp.array([1e-4]))
+    np.testing.assert_allclose(np.asarray(y_small), np.asarray(x),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_unet_3d_with_attention(key):
+    cfg = tiny_unet_cfg(use_3d=True, attn_levels=(1,), attn_axis="freq")
+    model = UNet(cfg)
+    x = jax.random.normal(key, (1, 2, 16, 8, 4))
+    sigma = jnp.array([2.0])
+    params = model.init(key, x, sigma)
+    y = model.apply(params, x, sigma)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+
+def test_unet_label_embeddings_cfg(key):
+    cfg = tiny_unet_cfg(in_channels_emb=32)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    sigma = jnp.array([1.0, 1.0])
+    emb_in = jax.random.normal(key, (2, 32))
+    params = model.init(key, x, sigma, emb_in, method=UNet.init_all)
+    # conditional vs unconditional embeddings differ
+    e_cond = model.apply(params, emb_in, jnp.ones(2), method=UNet.get_embeddings)
+    e_unc = model.apply(params, emb_in, jnp.zeros(2), method=UNet.get_embeddings)
+    assert e_cond.shape[1] == e_unc.shape[1]
+    assert float(jnp.abs(e_cond - e_unc).max()) > 1e-3
+    y = model.apply(params, x, sigma, e_cond)
+    assert y.shape == x.shape
+
+
+def test_unet_ddec_psd_conditioning(key):
+    cfg = tiny_unet_cfg(in_num_freqs=16, in_psd_freqs=64)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (1, 16, 8, 4))
+    x_ref = jax.random.normal(key, (1, 64, 8, 4))
+    sigma = jnp.array([1.0])
+    params = model.init(key, x, sigma, None, x_ref)
+    # out_gain is zero-init (D_x = c_skip*x at init); enable the F(x) branch
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    params["params"]["core"]["out_gain"] = jnp.ones(())
+    y = model.apply(params, x, sigma, None, x_ref)
+    assert y.shape == x.shape
+    # conditioning matters
+    y2 = model.apply(params, x, sigma, None, x_ref * 2.0)
+    assert float(jnp.abs(y - y2).max()) > 1e-5
+
+
+def test_unet_logvar_head(key):
+    cfg = tiny_unet_cfg()
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    params = model.init(key, x, jnp.array([1.0, 1.0]), method=UNet.init_all)
+    lv = model.apply(params, jnp.array([0.5, 5.0]),
+                     method=UNet.get_sigma_loss_logvar)
+    assert lv.shape == (2, 1, 1, 1)
+    # zero-init head -> zero logvar at init
+    np.testing.assert_allclose(np.asarray(lv), 0.0, atol=1e-6)
+
+
+def test_unet_jit_and_grad(key):
+    cfg = tiny_unet_cfg()
+    model = UNet(cfg)
+    x = jax.random.normal(key, (1, 16, 16, 4))
+    sigma = jnp.array([1.0])
+    params = model.init(key, x, sigma)
+
+    @jax.jit
+    def loss_fn(p):
+        y = model.apply(p, x, sigma, training=True)
+        return jnp.mean((y - x) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    total = jax.tree_util.tree_reduce(lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
+    assert np.isfinite(total) and total > 0
+
+
+# ---------------------------------------------------------------------------
+# DAE
+# ---------------------------------------------------------------------------
+
+def tiny_dae_cfg(**kw):
+    d = dict(model_channels=8, channel_mult_enc=(1, 2), channel_mult_dec=(1, 2),
+             num_enc_layers_per_block=1, num_dec_layers_per_block=1,
+             latent_channels=4)
+    d.update(kw)
+    return DAEConfig(**d)
+
+
+def test_dae_roundtrip_shapes(key):
+    cfg = tiny_dae_cfg()
+    model = DAE(cfg)
+    x = jax.random.normal(key, (2, 32, 64, 2))
+    variables = model.init(key, x)
+    (latents, recon, pre), mutated = model.apply(
+        variables, x, mutable=["stats"], training=True,
+        noise_key=None)
+    assert latents.shape == (2, 16, 32, 4)
+    assert recon.shape == x.shape
+    # stats tracked
+    assert float(jnp.abs(mutated["stats"]["latents_mean"]).sum()) >= 0
+
+
+def test_dae_encode_decode_methods(key):
+    cfg = tiny_dae_cfg()
+    model = DAE(cfg)
+    x = jax.random.normal(key, (1, 32, 32, 2))
+    variables = model.init(key, x)
+    lat = model.apply(variables, x, method=DAE.encode)
+    assert lat.shape == model.apply(variables, x.shape, method=DAE.get_latent_shape)
+    y = model.apply(variables, lat, method=DAE.decode)
+    assert y.shape == (1, 32, 32, 2)
+
+
+def test_dae_latent_normalization(key):
+    cfg = tiny_dae_cfg()
+    model = DAE(cfg)
+    x = jax.random.normal(key, (1, 32, 32, 2))
+    variables = model.init(key, x)
+    lat = model.apply(variables, x, method=DAE.encode)
+    norm = model.apply(variables, lat, method=DAE.normalize_latents)
+    back = model.apply(variables, norm, method=DAE.unnormalize_latents)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(lat), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_dae_supersampled_shift_equivariance(key):
+    """d3-series: latents of a ds-shifted input == shifted latents."""
+    cfg = tiny_dae_cfg(supersampled=True, clip_act=1e6)
+    model = DAE(cfg)
+    ds = 2  # num_levels=2 -> ratio 2
+    x = jax.random.normal(key, (1, 32, 64, 2))
+    variables = model.init(key, x)
+    lat = model.apply(variables, x, method=DAE.encode)
+    x_shift = jnp.roll(x, ds, axis=2)
+    lat_shift = model.apply(variables, x_shift, method=DAE.encode)
+    # interior should match the rolled latents (edges differ due to padding)
+    a = np.asarray(jnp.roll(lat, 1, axis=2))[:, :, 4:-4]
+    b = np.asarray(lat_shift)[:, :, 4:-4]
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+
+
+def test_dae_tiled_encode_matches_full(key):
+    cfg = tiny_dae_cfg()
+    model = DAE(cfg)
+    x = jax.random.normal(key, (1, 16, 512, 2))
+    variables = model.init(key, x)
+
+    def enc(v, chunk, emb):
+        return model.apply(v, chunk, emb, method=DAE.encode)
+
+    full = model.apply(variables, x, method=DAE.encode)
+    tiled = tiled_encode(enc, variables, x, None, model.downsample_ratio,
+                         cfg.latent_channels, max_chunk=256, overlap=32)
+    assert tiled.shape == full.shape
+    # interiors agree; chunk seams may differ slightly from conv padding
+    err = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert np.median(err) < 1e-4
