@@ -110,15 +110,23 @@ def _cmatmul(ar, ai, br, bi, prec=jax.lax.Precision.HIGHEST):
     return rr, ri
 
 
-def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def _fft_ct(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
+    """Two-stage Cooley-Tukey full complex DFT via MXU matmuls.
+
+    Input (..., n) split real/imag (xi=None for real input); returns
+    (real, imag) each (..., n) with standard DFT ordering.
+    """
     n1, n2, (f1r, f1i), (f2r, f2i), (twr, twi) = _ct_bases(n)
-    lead = x.shape[:-1]
-    xr = x.reshape(lead + (n1, n2)).astype(jnp.float32)
+    lead = xr.shape[:-1]
+    prec = jax.lax.Precision.HIGHEST
+    ar = xr.reshape(lead + (n1, n2)).astype(jnp.float32)
+    ai = xi.reshape(lead + (n1, n2)).astype(jnp.float32) if xi is not None else None
     # stage 1: DFT over t1 (contract axis -2 with f1): y[k1, t2]
-    yr = jnp.einsum("...tn,tk->...kn", xr, f1r,
-                    precision=jax.lax.Precision.HIGHEST)
-    yi = jnp.einsum("...tn,tk->...kn", xr, f1i,
-                    precision=jax.lax.Precision.HIGHEST)
+    yr = jnp.einsum("...tn,tk->...kn", ar, f1r, precision=prec)
+    yi = jnp.einsum("...tn,tk->...kn", ar, f1i, precision=prec)
+    if ai is not None:
+        yr = yr - jnp.einsum("...tn,tk->...kn", ai, f1i, precision=prec)
+        yi = yi + jnp.einsum("...tn,tk->...kn", ai, f1r, precision=prec)
     # twiddle: multiply by W_n^{t2*k1}; y is (..., k1, t2), tw is (t2, k1)
     twr_t, twi_t = twr.T, twi.T                    # (n1, n2)
     zr = yr * twr_t - yi * twi_t
@@ -128,8 +136,30 @@ def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
     # X[k] with k = k1 + n1*k2 -> transpose (k2 major)
     full_r = jnp.swapaxes(xrr, -1, -2).reshape(lead + (n,))
     full_i = jnp.swapaxes(xri, -1, -2).reshape(lead + (n,))
+    return full_r, full_i
+
+
+def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    full_r, full_i = _fft_ct(x, None, n)
     bins = n // 2 + 1
     return jax.lax.complex(full_r[..., :bins], full_i[..., :bins])
+
+
+def _irfft_matmul_ct(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Factorized inverse rfft: hermitian-extend the onesided spectrum, then
+    ifft(X) = conj(fft(conj(X)))/n via the same CT matmul stages."""
+    bins = n // 2 + 1
+    sr = jnp.real(spec)[..., :bins].astype(jnp.float32)
+    si = jnp.imag(spec)[..., :bins].astype(jnp.float32)
+    # hermitian extension: X[n-k] = conj(X[k]) for k = 1..n-bins
+    ext_r = jnp.flip(sr[..., 1: n - bins + 1], axis=-1)
+    ext_i = -jnp.flip(si[..., 1: n - bins + 1], axis=-1)
+    fr = jnp.concatenate([sr, ext_r], axis=-1)
+    fi = jnp.concatenate([si, ext_i], axis=-1)
+    # ifft via conj-fft-conj
+    yr, yi = _fft_ct(fr, -fi, n)
+    del yi  # output of an inverse of a hermitian spectrum is real
+    return yr / n
 
 
 def rfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None) -> jnp.ndarray:
@@ -155,6 +185,9 @@ def irfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None
     n = n or 2 * (x.shape[-1] - 1)
     if _resolve(backend) == "fft":
         return jnp.fft.irfft(x, n=n)
+    if n >= _FACTORIZE_MIN_N and _best_factorization(n) is not None \
+            and _best_factorization(n)[0] > 1:
+        return _irfft_matmul_ct(x, n)
     a, b = _irdft_basis(n)
     re = jnp.real(x).astype(jnp.float32)
     im = jnp.imag(x).astype(jnp.float32)

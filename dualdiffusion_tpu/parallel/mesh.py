@@ -1,0 +1,65 @@
+"""Device mesh construction and sharding rules.
+
+TPU-native replacement for the reference's HuggingFace-Accelerate DDP layer
+(reference: src/training/trainer.py:242-293 and SURVEY.md §2.10/§5.8):
+
+  * a 1-D (or 2-D data x model) ``jax.sharding.Mesh`` over ICI; DCN becomes
+    the outer axis for multi-slice.
+  * replicated params + batch-sharded activations via NamedSharding; grads
+    are psum'd automatically under jit.
+  * ``accelerator.gather`` for the stratified sigma sync is replaced by
+    shared-key whole-batch sampling (training/sigma_sampler.py) — zero
+    communication.
+
+The sequence/context-parallel helpers (time-axis sharding with halo
+exchange, SURVEY.md §5.7) live in parallel/sharded_ops.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class MeshConfig:
+    data_axis: int = -1      # -1 = all devices on the data axis
+    model_axis: int = 1      # tensor-parallel width (1 = pure DP)
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+def make_mesh(config: Optional[MeshConfig] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(config.model_axis, 1)
+    data = n // model if config.data_axis == -1 else config.data_axis
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, config.axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
+    """Shard axis ``batch_axis`` over the 'data' mesh axis, replicate rest."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with the batch axis sharded over
+    'data'. Per-host sharded loading: each process passes its local shard
+    via jax.make_array_from_process_local_data in multi-host settings."""
+    def place(x):
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+    return jax.tree_util.tree_map(place, batch)

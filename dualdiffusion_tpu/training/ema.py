@@ -1,0 +1,232 @@
+"""Multi-profile EMA bank with power-function profiles, switch/feedback EMA,
+bf16 archiving, and post-hoc EMA reconstruction.
+
+Capability parity with the reference's EMA_Manager
+(reference: src/training/ema.py): classic-beta or EDM2 power-function-std
+profiles (:112-114), fp64 option, warmup, SwitchEMA (:323-333), feedback EMA
+(:309-315), bf16 archive snapshots (:316-321), and NVIDIA Algorithm-3
+post-hoc reconstruction from archived profiles (:120-130,147-191).
+
+TPU-native design: the EMA bank is a pytree-of-pytrees living inside the
+jitted train step — one fused tree-map lerp updates every profile on-device
+(replacing torch._foreach_lerp_); power-function betas are computed from the
+traced sample counter so the whole update stays in-graph. CPU offload is
+unnecessary on TPU (HBM-resident fp32 bank; use fewer profiles + the archive
+for post-hoc synthesis if memory-bound).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# NVIDIA EDM2 power-function EMA math (Karras et al. 2024, eqs. 121-151)
+# ---------------------------------------------------------------------------
+
+def exp_to_std(exp) -> np.ndarray:
+    exp = np.asarray(exp, np.float64)
+    return np.sqrt((exp + 1) / (exp + 2) ** 2 / (exp + 3))
+
+
+def std_to_exp(std) -> np.ndarray:
+    """Relative std -> power-function exponent (eq. 126 / alg. 2)."""
+    std = np.asarray(std, np.float64)
+    tmp = std.flatten() ** -2
+    exp = [np.roots([1, 7, 16 - t, 12 - t]).real.max() for t in tmp]
+    return np.float64(exp).reshape(std.shape)
+
+
+def power_function_beta(std: float, t_next, t_delta):
+    """Per-step beta tracking a power-function profile (eq. 127). Works on
+    traced jnp counters."""
+    exp = float(std_to_exp(np.array(std)))
+    return (1.0 - t_delta / t_next) ** (exp + 1.0)
+
+
+def power_function_correlation(a_ofs, a_std, b_ofs, b_std) -> np.ndarray:
+    a_exp = std_to_exp(a_std)
+    b_exp = std_to_exp(b_std)
+    t_ratio = a_ofs / b_ofs
+    t_exp = np.where(a_ofs < b_ofs, b_exp, -a_exp)
+    t_max = np.maximum(a_ofs, b_ofs)
+    num = (a_exp + 1) * (b_exp + 1) * t_ratio ** t_exp
+    den = (a_exp + b_exp + 1) * t_max
+    return num / den
+
+
+def solve_posthoc_coefficients(in_ofs, in_std, out_ofs, out_std) -> np.ndarray:
+    """Least-squares mixing coefficients (alg. 3)."""
+    in_ofs, in_std = np.broadcast_arrays(in_ofs, in_std)
+    out_ofs, out_std = np.broadcast_arrays(out_ofs, out_std)
+    rv = lambda x: np.asarray(x, np.float64).reshape(-1, 1)
+    cv = lambda x: np.asarray(x, np.float64).reshape(1, -1)
+    a = power_function_correlation(rv(in_ofs), rv(in_std), cv(in_ofs), cv(in_std))
+    b = power_function_correlation(rv(in_ofs), rv(in_std), cv(out_ofs), cv(out_std))
+    x = np.linalg.solve(a, b)
+    return x / np.sum(x, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# EMA bank
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EMAConfig:
+    """One EMA profile (reference: ema.py:193-227)."""
+    name: str
+    beta: Optional[float] = None            # classic EMA
+    std: Optional[float] = None             # power-function EMA
+    num_warmup_steps: Optional[int] = None
+    num_archive_steps: Optional[int] = None
+    feedback_beta: Optional[float] = None   # lerp EMA back into train weights
+    num_switch_ema_epochs: Optional[int] = None
+    use_float64: bool = False
+    include_in_validation: bool = True
+
+    def __post_init__(self):
+        if (self.beta is None) == (self.std is None):
+            raise ValueError(f"ema '{self.name}': specify exactly one of beta/std")
+        if self.beta is not None and not (0 <= self.beta < 1):
+            raise ValueError(f"ema '{self.name}': invalid beta {self.beta}")
+        if self.std is not None and self.std < 0:
+            raise ValueError(f"ema '{self.name}': invalid std {self.std}")
+        if self.feedback_beta is not None and not (0 <= self.feedback_beta < 1):
+            raise ValueError(f"ema '{self.name}': invalid feedback_beta")
+        if self.std is not None and (self.num_warmup_steps or 0) > 0:
+            raise ValueError(f"ema '{self.name}': power-function ema cannot warm up")
+
+
+class EMABank:
+    """Functional multi-EMA: state is {name: params-pytree}; all updates are
+    pure functions usable inside the jitted train step."""
+
+    def __init__(self, configs: List[EMAConfig]) -> None:
+        names = [c.name for c in configs]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate ema names")
+        self.configs: Dict[str, EMAConfig] = {c.name: c for c in configs}
+        switch = [c.name for c in configs if c.num_switch_ema_epochs]
+        if len(switch) > 1:
+            raise ValueError("only one EMA can be the switch EMA")
+        self.switch_ema_name = switch[0] if switch else None
+
+    def init(self, params) -> Dict[str, Any]:
+        out = {}
+        for name, cfg in self.configs.items():
+            dtype = jnp.float64 if cfg.use_float64 else jnp.float32
+            out[name] = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        return out
+
+    def update(self, ema_state: Dict[str, Any], params,
+               total_samples_processed, batch_size: int,
+               global_step) -> tuple:
+        """One EMA step for every profile (+ feedback). Pure; call in-graph.
+
+        Returns (new_ema_state, possibly-feedback-modified params).
+        """
+        new_state = {}
+        new_params = params
+        for name, cfg in self.configs.items():
+            if cfg.beta is not None:
+                beta = jnp.float32(cfg.beta)
+            else:
+                t_next = total_samples_processed + batch_size
+                beta = power_function_beta(cfg.std, t_next, batch_size)
+            if cfg.num_warmup_steps:
+                beta = beta * jnp.minimum(global_step / cfg.num_warmup_steps, 1.0)
+            b = beta.astype(jnp.float64) if cfg.use_float64 else beta.astype(jnp.float32)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * b + p.astype(e.dtype) * (1.0 - b),
+                ema_state[name], params)
+            new_state[name] = ema
+            if cfg.feedback_beta is not None:
+                fb = cfg.feedback_beta
+                new_params = jax.tree_util.tree_map(
+                    lambda p, e: p * fb + e.astype(p.dtype) * (1.0 - fb),
+                    new_params, ema)
+        return new_state, new_params
+
+    def get_betas(self, total_samples_processed: int, batch_size: int) -> Dict[str, float]:
+        out = {}
+        for name, cfg in self.configs.items():
+            out[name] = cfg.beta if cfg.beta is not None else float(
+                power_function_beta(cfg.std, total_samples_processed + batch_size,
+                                    batch_size))
+        return out
+
+    def maybe_switch(self, ema_state: Dict[str, Any], params, epoch: int,
+                     global_step: int, normalize_fn: Optional[Callable] = None):
+        """SwitchEMA (reference :323-333): every N epochs, load the switch
+        profile's weights into the train weights. Host-side (epoch boundary).
+        Returns (params, switched_name_or_None)."""
+        name = self.switch_ema_name
+        if name is None:
+            return params, None
+        cfg = self.configs[name]
+        if cfg.num_warmup_steps and global_step < cfg.num_warmup_steps:
+            return params, None
+        if epoch % cfg.num_switch_ema_epochs != 0:
+            return params, None
+        new_params = jax.tree_util.tree_map(
+            lambda p, e: e.astype(p.dtype), params, ema_state[name])
+        if normalize_fn is not None:
+            new_params = normalize_fn(new_params)
+        return new_params, name
+
+    def validation_emas(self) -> List[str]:
+        return [n for n, c in self.configs.items() if c.include_in_validation]
+
+
+# ---------------------------------------------------------------------------
+# archives + post-hoc reconstruction (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def save_ema_archive(ema_params, path: str, global_step: int,
+                     total_samples_processed: int, std: float) -> None:
+    """bf16 archive snapshot for post-hoc reconstruction (reference :316-321,
+    :368-377)."""
+    from flax.traverse_util import flatten_dict
+    from ..utils import save_safetensors
+    import ml_dtypes
+    flat = flatten_dict(jax.tree_util.tree_map(np.asarray, ema_params), sep="/")
+    flat = {k: v.astype(ml_dtypes.bfloat16) for k, v in flat.items()}
+    save_safetensors(flat, path, metadata={
+        "std": str(std), "global_step": str(global_step),
+        "total_samples_processed": str(total_samples_processed)})
+
+
+def reconstruct_phema(out_std: float, phema_path: str):
+    """Post-hoc EMA: least-squares combination of archived snapshots
+    (reference: ema.py:147-191). Returns a flat {path: np.float32 array}."""
+    from ..utils import load_safetensors, load_safetensors_metadata
+    emas = []
+    for f in sorted(os.listdir(phema_path)):
+        if not f.lower().endswith(".safetensors"):
+            continue
+        p = os.path.join(phema_path, f)
+        meta = load_safetensors_metadata(p)
+        emas.append({"path": p, "std": float(meta["std"]),
+                     "n_processed": int(meta["total_samples_processed"])})
+    if not emas:
+        raise FileNotFoundError(f"no ema archives in {phema_path}")
+    emas.sort(key=lambda e: (e["n_processed"], e["std"]))
+    out_n = max(e["n_processed"] for e in emas)
+    coefs = solve_posthoc_coefficients(
+        np.array([e["n_processed"] for e in emas]),
+        np.array([e["std"] for e in emas]),
+        np.array([out_n]), np.array([out_std]))
+    state: Optional[Dict[str, np.ndarray]] = None
+    for i, e in enumerate(emas):
+        sd = load_safetensors(e["path"])
+        if state is None:
+            state = {k: np.zeros(v.shape, np.float64) for k, v in sd.items()}
+        for k in state:
+            state[k] += np.asarray(sd[k], np.float64) * coefs[i, 0]
+    return {k: v.astype(np.float32) for k, v in state.items()}

@@ -1,0 +1,394 @@
+"""Training loss library (pure JAX).
+
+Capability parity with the reference's standalone loss lib
+(reference: src/training/loss/, 746 LoC):
+
+  * MSSLoss1D — multi-window spectral L1 + phase-wrap-aware phase loss
+    weighted by magnitude and mel density (multiscale_spectral.py:41-119).
+  * MSSLoss2D — unfold+rfft2 multi-scale 2D spectral loss with
+    flat-top/hann/kaiser/circular windows, product/f^2/dynamic frequency
+    weighting, mid/side transform, l1 or mse, optional complex phase terms
+    (multiscale_spectral.py:121-297). This is the op the reference intended
+    to fuse into a CUDA kernel (SURVEY.md §2.9 item 1) — the Pallas fusion
+    lives in ops/pallas/; this is the reference implementation.
+  * SpecRegLoss — match the latent spectrum to a target spectral profile
+    (spectral_regularization.py:41-103).
+  * WaveletLoss — per-level L1 on a Laplacian pyramid with 4^(-i*e) weights
+    (wavelet.py:39-84).
+  * DoGLoss2D — difference-of-gaussians pyramid NLL with learned per-scale
+    logvar (difference_of_gaussians.py:31-90).
+  * equivariance_loss — latent shift-equivariance penalty
+    (equivariance.py:63-101).
+
+Layouts: audio losses take (B, C, T); 2D losses take channel-last
+(B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Literal, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import mp
+from ..ops import get_window, mel_density, stft
+from ..ops.stft import frame_signal
+
+
+# ---------------------------------------------------------------------------
+# 1D multi-scale spectral loss
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MSSLoss1DConfig:
+    block_widths: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096,
+                                     8192, 16384, 32768)
+    block_overlap: int = 2
+    sample_rate: float = 32000
+    loss_scale: float = 1.0
+
+
+class MSSLoss1D:
+    def __init__(self, config: MSSLoss1DConfig) -> None:
+        self.config = config
+        self.windows = {}
+        self.loss_weights = {}
+        for bw in config.block_widths:
+            self.windows[bw] = get_window("hann", bw, periodic=True)
+            freqs = np.fft.rfftfreq(bw) * config.sample_rate
+            w = np.asarray(mel_density(freqs), np.float64)
+            self.loss_weights[bw] = (w / w.max() / np.pi).astype(np.float32)
+
+    def __call__(self, sample: jnp.ndarray, target: jnp.ndarray):
+        """(B, C, T) -> (abs_loss (B,), phase_loss (B,))."""
+        cfg = self.config
+        loss = jnp.zeros((target.shape[0],), jnp.float32)
+        phase_loss = jnp.zeros_like(loss)
+        for bw in cfg.block_widths:
+            if bw > target.shape[-1]:
+                continue
+            hop = max(bw // cfg.block_overlap, 1)
+            win = self.windows[bw] / np.sqrt((self.windows[bw] ** 2).sum())
+            t_fft = stft(jax.lax.stop_gradient(target), win, bw, hop)
+            s_fft = stft(sample, win, bw, hop)
+            t_abs = jnp.abs(t_fft)
+            s_abs = jnp.abs(s_fft)
+            lw = jnp.asarray(self.loss_weights[bw])
+            loss = loss + jnp.mean(jnp.abs(s_abs - t_abs), axis=(1, 2, 3))
+            t_ang = jnp.angle(t_fft)
+            s_ang = jnp.angle(s_fft)
+            perr = jnp.abs(s_ang - t_ang)
+            perr = jnp.where(perr > np.pi, 2 * np.pi - perr, perr)
+            plw = (t_abs - t_abs.min(axis=-1, keepdims=True)) * lw
+            phase_loss = phase_loss + jnp.mean(perr * jax.lax.stop_gradient(plw),
+                                               axis=(1, 2, 3))
+        return loss * cfg.loss_scale, phase_loss * cfg.loss_scale
+
+
+# ---------------------------------------------------------------------------
+# 2D multi-scale spectral loss
+# ---------------------------------------------------------------------------
+
+def _flat_top(x: np.ndarray) -> np.ndarray:
+    return (0.21557895 - 0.41663158 * np.cos(x) + 0.277263158 * np.cos(2 * x)
+            - 0.083578947 * np.cos(3 * x) + 0.006947368 * np.cos(4 * x))
+
+
+def _window_2d(name: str, bw: int) -> np.ndarray:
+    if name == "flat_top":
+        wx = np.arange(bw) / bw * 2 * np.pi
+        w = _flat_top(wx)[:, None] * _flat_top(wx)[None, :]
+    elif name == "hann":
+        wx = np.arange(bw) / bw * np.pi
+        w = (np.sin(wx) ** 2)[:, None] * (np.sin(wx) ** 2)[None, :]
+    elif name == "kaiser":
+        k = get_window("kaiser", bw, beta=12.0)
+        w = k[:, None] * k[None, :]
+    elif name == "flat_top_circular":
+        c = (np.arange(bw) + 0.5) - bw / 2
+        dist = np.sqrt(c[:, None] ** 2 + c[None, :] ** 2) / (bw // 2)
+        w = _flat_top(dist * np.pi + np.pi) * (dist <= 1)
+    elif name == "none":
+        w = np.ones((bw, bw))
+    else:
+        raise ValueError(f"invalid block window: {name}")
+    return (w / np.sqrt((w ** 2).mean())).astype(np.float32)
+
+
+def unfold_2d(x: jnp.ndarray, block: int, step: int) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, C, nH, nW, block, block) with reflect padding by
+    block//2 (reference: multiscale_spectral.py:219-224)."""
+    pad = block // 2
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)], mode="reflect")
+    # frame along H: (..., H', W) -> treat via frame_signal on a moved axis
+    xh = jnp.moveaxis(x, 2, -1)                          # (B, C, W, Hp)
+    fh = frame_signal(xh, block, step)                   # (B, C, W, nH, block)
+    fhw = jnp.moveaxis(fh, 2, -1)                        # (B, C, nH, block, W)
+    fw = frame_signal(fhw, block, step)                  # (B, C, nH, block, nW, block)
+    return jnp.transpose(fw, (0, 1, 2, 4, 3, 5))         # (B, C, nH, nW, bh, bw)
+
+
+@dataclass
+class MSSLoss2DConfig:
+    block_widths: Tuple[int, ...] = (8, 16, 32, 64)
+    block_overlap: int = 8
+    block_width_weight_exponent: float = 0.0
+    block_window_fn: str = "flat_top"
+    frequency_weighting: Literal["product", "f^2", "dynamic"] = "product"
+    frequency_weight_exponent: float = 1.0
+    use_midside_transform: Literal["stack", "cat", "none"] = "stack"
+    use_mse_loss: bool = False
+    phase_loss_scale: float = 0.0
+    abs_loss_scale: float = 1.0
+
+
+class MSSLoss2D:
+    def __init__(self, config: MSSLoss2DConfig) -> None:
+        self.config = config
+        self.windows = {bw: _window_2d(config.block_window_fn, bw)
+                        for bw in config.block_widths}
+        self.loss_weights = {}
+        for bw in config.block_widths:
+            fh = np.fft.fftfreq(bw, d=1.0 / bw)
+            fw = np.fft.rfftfreq(bw, d=1.0 / bw)
+            if config.frequency_weighting == "product":
+                lw = (np.abs(fh)[:, None] + 1) * (np.abs(fw)[None, :] + 1)
+            elif config.frequency_weighting == "f^2":
+                lw = fh[:, None] ** 2 + fw[None, :] ** 2 + 1
+            else:
+                lw = None
+            if lw is not None:
+                self.loss_weights[bw] = lw.astype(np.float32)
+
+    def _stft2d(self, x: jnp.ndarray, bw: int, step: int) -> jnp.ndarray:
+        blocks = unfold_2d(x, bw, step) * jnp.asarray(self.windows[bw])
+        fft = jnp.fft.rfft2(blocks, norm="ortho")
+        ms = self.config.use_midside_transform
+        if ms == "stack":
+            fft = jnp.stack([fft[:, 0] + fft[:, 1], fft[:, 0] - fft[:, 1]], axis=1)
+        elif ms == "cat":
+            fft = jnp.concatenate(
+                [fft, (fft[:, 0:1] + fft[:, 1:2]) * 0.5 ** 0.5,
+                 (fft[:, 0:1] - fft[:, 1:2]) * 0.5 ** 0.5], axis=1)
+        return fft
+
+    def __call__(self, sample: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """(B, C, H, W) x2 -> per-sample loss (B,)."""
+        cfg = self.config
+        loss = jnp.zeros((target.shape[0],), jnp.float32)
+        err_fn = (lambda a, b: (a - b) ** 2) if cfg.use_mse_loss else (lambda a, b: jnp.abs(a - b))
+        for bw in cfg.block_widths:
+            if bw > target.shape[-1]:
+                continue
+            step = max(bw // cfg.block_overlap, 1)
+            t_fft = jax.lax.stop_gradient(self._stft2d(target, bw, step))
+            s_fft = self._stft2d(sample, bw, step)
+            t_abs = jnp.abs(t_fft)
+            if cfg.frequency_weighting == "dynamic":
+                lw = 1.0 / jnp.clip(t_abs.mean(axis=(0, 2, 3), keepdims=True), min=1e-2)
+                lw = jax.lax.stop_gradient(lw)
+            else:
+                lw = jnp.asarray(self.loss_weights[bw])
+            if cfg.frequency_weight_exponent != 1:
+                lw = lw ** cfg.frequency_weight_exponent
+            if cfg.block_width_weight_exponent != 0:
+                lw = lw * bw ** cfg.block_width_weight_exponent
+            block_loss = jnp.zeros_like(t_abs)
+            if cfg.abs_loss_scale > 0:
+                block_loss = err_fn(jnp.abs(s_fft), t_abs) * cfg.abs_loss_scale
+            if cfg.phase_loss_scale > 0:
+                block_loss = block_loss + (err_fn(jnp.real(s_fft), jnp.real(t_fft))
+                                           + err_fn(jnp.imag(s_fft), jnp.imag(t_fft))
+                                           ) * cfg.phase_loss_scale
+            loss = loss + jnp.mean(block_loss * lw, axis=(1, 2, 3, 4, 5))
+        return loss
+
+
+# ---------------------------------------------------------------------------
+# randomized-prime 2D MSS (the dae_p1 trainer's recon loss)
+# ---------------------------------------------------------------------------
+
+PRIME_BLOCKS = (9, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
+                67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127,
+                131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191,
+                193, 197, 199, 211, 223, 227, 229, 233, 239, 241, 251)
+
+
+def random_prime_mss_2d(key: jax.Array, sample: jnp.ndarray, target: jnp.ndarray,
+                        num_iterations: int = 16,
+                        use_midside: bool = True) -> jnp.ndarray:
+    """Randomized-prime-block 2D MSS (reference: dae_p1_trainer.py:85-213):
+    each iteration draws a prime block size (ln-linear weighted), random
+    offsets and mid/side flag, computes a flat-top-windowed rfft2 of ONE
+    block position grid, and accumulates target-energy-normalized MSE.
+
+    Trace-time randomness note: the block sizes must be static for XLA, so
+    they are drawn host-side per call site via numpy seeded from the fold of
+    ``key`` when traced outside jit; under jit pass ``num_iterations``
+    pre-drawn sizes via functools.partial closure (sizes fixed per compile,
+    offsets remain traced).
+    """
+    sizes_rng = np.random.default_rng(0)
+    ln_w = 1.0 / np.log(np.asarray(PRIME_BLOCKS))
+    p = ln_w / ln_w.sum()
+    sizes = sizes_rng.choice(PRIME_BLOCKS, size=num_iterations, p=p)
+    keys = jax.random.split(key, num_iterations)
+    loss = jnp.zeros((target.shape[0],), jnp.float32)
+    for i, bw in enumerate(sizes):
+        bw = int(min(bw, min(target.shape[-2:], default=bw)))
+        k_off, k_ms = jax.random.split(keys[i])
+        h, w = target.shape[-2], target.shape[-1]
+        oh = jax.random.randint(k_off, (), 0, max(h - bw, 1))
+        ow = jax.random.randint(jax.random.fold_in(k_off, 1), (), 0, max(w - bw, 1))
+        win = jnp.asarray(_window_2d("flat_top", bw))
+
+        def spec(x):
+            xs = jax.lax.dynamic_slice(
+                x, (0, 0, oh, ow), (x.shape[0], x.shape[1], bw, bw))
+            if use_midside:
+                xs = mp.midside_transform(xs, channel_axis=1)
+            return jnp.fft.rfft2(xs * win, norm="ortho")
+
+        t_fft = jax.lax.stop_gradient(spec(target))
+        s_fft = spec(sample)
+        t_energy = jax.lax.stop_gradient(
+            jnp.mean(jnp.abs(t_fft) ** 2, axis=(1, 2, 3), keepdims=False) + 1e-8)
+        err = jnp.mean(jnp.abs(s_fft - t_fft) ** 2, axis=(1, 2, 3))
+        loss = loss + err / t_energy
+    return loss / num_iterations
+
+
+# ---------------------------------------------------------------------------
+# spectral regularization / wavelet / DoG / equivariance
+# ---------------------------------------------------------------------------
+
+def spec_reg_loss(latents: jnp.ndarray, target_profile: jnp.ndarray,
+                  kind: Literal["l1", "mse", "kl"] = "l1") -> jnp.ndarray:
+    """Match the latent rfft2 magnitude spectrum to a target spectral profile
+    (reference: spectral_regularization.py:41-103). latents (B, C, H, W);
+    target_profile broadcastable to the rfft2 magnitude."""
+    mag = jnp.abs(jnp.fft.rfft2(latents.astype(jnp.float32), norm="ortho"))
+    mag = mag / (mag.mean(axis=(-2, -1), keepdims=True) + 1e-8)
+    tp = target_profile / (target_profile.mean(axis=(-2, -1), keepdims=True) + 1e-8)
+    if kind == "l1":
+        return jnp.mean(jnp.abs(mag - tp), axis=(1, 2, 3))
+    if kind == "mse":
+        return jnp.mean((mag - tp) ** 2, axis=(1, 2, 3))
+    if kind == "kl":
+        p = mag / (mag.sum(axis=(-2, -1), keepdims=True) + 1e-12)
+        q = tp / (tp.sum(axis=(-2, -1), keepdims=True) + 1e-12)
+        return jnp.sum(p * (jnp.log(p + 1e-12) - jnp.log(q + 1e-12)), axis=(1, 2, 3))
+    raise ValueError(kind)
+
+
+def wavelet_loss(sample: jnp.ndarray, target: jnp.ndarray, num_levels: int = 4,
+                 level_exponent: float = 1.0, use_midside: bool = False) -> jnp.ndarray:
+    """Per-level L1 on Laplacian pyramids with 4^(-i*e) weights
+    (reference: wavelet.py:39-84). Channel-last (B, H, W, C)."""
+    if use_midside:
+        sample = mp.midside_transform(sample, channel_axis=-1)
+        target = mp.midside_transform(target, channel_axis=-1)
+    sw = mp.wavelet_decompose_2d(sample, num_levels)
+    tw = mp.wavelet_decompose_2d(jax.lax.stop_gradient(target), num_levels)
+    loss = jnp.zeros((target.shape[0],), jnp.float32)
+    for i, (s, t) in enumerate(zip(sw, tw)):
+        w = 4.0 ** (-i * level_exponent)
+        loss = loss + w * jnp.mean(jnp.abs(s - t), axis=tuple(range(1, s.ndim)))
+    return loss
+
+
+def _gaussian_kernel_1d(size: int, sigma: Optional[float] = None) -> np.ndarray:
+    sigma = sigma or (size / 6.0)
+    x = np.arange(size) - (size - 1) / 2
+    k = np.exp(-x ** 2 / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur_2d(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    from ..models.layers import _sep_conv_axis
+    k = _gaussian_kernel_1d(size)
+    x = _sep_conv_axis(x, k, axis=-2, stride=1)
+    return _sep_conv_axis(x, k, axis=-3, stride=1)
+
+
+def dog_loss_2d(sample: jnp.ndarray, target: jnp.ndarray,
+                logvars: jnp.ndarray,
+                kernel_sizes: Sequence[int] = (3, 7, 11, 15, 19, 23, 27)):
+    """Difference-of-gaussians pyramid with learned per-scale logvar NLL
+    (reference: difference_of_gaussians.py:31-90). Channel-last (B,H,W,C);
+    logvars: (num_scales+1,) learned parameters. Returns per-sample loss."""
+    losses = []
+    s_prev, t_prev = sample, jax.lax.stop_gradient(target)
+    for size in kernel_sizes:
+        s_blur = _blur_2d(s_prev, size)
+        t_blur = _blur_2d(t_prev, size)
+        sd = s_prev - s_blur
+        td = t_prev - t_blur
+        losses.append(jnp.mean((sd - td) ** 2, axis=(1, 2, 3)))
+        s_prev, t_prev = s_blur, t_blur
+    losses.append(jnp.mean((s_prev - t_prev) ** 2, axis=(1, 2, 3)))
+    total = jnp.zeros_like(losses[0])
+    for i, l in enumerate(losses):
+        total = total + l / jnp.exp(logvars[i]) + logvars[i]
+    return total
+
+
+def equivariance_loss(encode_fn, mel_spec: jnp.ndarray, latents: jnp.ndarray,
+                      key: jax.Array, downsample_ratio: int,
+                      max_shift: int = 8) -> jnp.ndarray:
+    """Latent shift-equivariance (reference: equivariance.py:63-101):
+    randomly crop the mel spec by <= max_shift columns, re-encode, and L1-
+    compare with the matching crop of the filtered-upsampled latents after
+    filtered downsampling. Channel-last (B, H, W, C)."""
+    from ..models.layers import filtered_upsample_2d, filtered_downsample_2d
+    shift = jax.random.randint(key, (), 1, max_shift + 1)
+    w = mel_spec.shape[2]
+    mel_crop = jax.lax.dynamic_slice_in_dim(mel_spec, shift, w - max_shift, axis=2)
+    lat_crop = encode_fn(mel_crop)
+    up = filtered_upsample_2d(latents, factor=downsample_ratio)
+    up_crop = jax.lax.dynamic_slice_in_dim(
+        up, shift, (w - max_shift) // downsample_ratio * downsample_ratio, axis=2)
+    ref = filtered_downsample_2d(up_crop, factor=downsample_ratio)
+    n = min(ref.shape[2], lat_crop.shape[2])
+    return jnp.mean(jnp.abs(ref[:, :, :n] - lat_crop[:, :, :n]),
+                    axis=(1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# latent regularizers (dae_p1 trainer: kl, dispersion, phase invariance)
+# ---------------------------------------------------------------------------
+
+def kl_to_unit_loss(latents: jnp.ndarray, mean_penalty: float = 1.0) -> jnp.ndarray:
+    """KL(N(mu, var) || N(0,1)) per sample on pre-norm latents with an extra
+    mean penalty (reference: dae_p1_trainer.py:373-383)."""
+    mu = latents.mean(axis=(1, 2))
+    var = latents.var(axis=(1, 2)) + 1e-8
+    kl = 0.5 * (mu ** 2 * mean_penalty + var - jnp.log(var) - 1.0)
+    return kl.mean(axis=-1)
+
+
+def latents_dispersion_loss(latents: jnp.ndarray, shifts: Sequence[int] = (1,)) -> jnp.ndarray:
+    """Repulsion of squared cosine similarity between batch-rolled latents
+    (reference: dae_p1_trainer.py:345-371)."""
+    flat = latents.reshape(latents.shape[0], -1)
+    flat = flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True) + 1e-8)
+    loss = jnp.zeros((latents.shape[0],), jnp.float32)
+    for s in shifts:
+        other = jnp.roll(flat, s, axis=0)
+        cos = jnp.sum(flat * other, axis=-1)
+        loss = loss + cos ** 2
+    return loss / len(shifts)
+
+
+def phase_invariance_loss(latents_a: jnp.ndarray, latents_b: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-similarity pull between latents of two encodes of the same
+    audio with different phases (reference: dae_p1_trainer.py:330-343)."""
+    a = latents_a.reshape(latents_a.shape[0], -1)
+    b = latents_b.reshape(latents_b.shape[0], -1)
+    a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
+    b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
+    return 1.0 - jnp.sum(a * b, axis=-1)

@@ -76,7 +76,7 @@ def test_rfft_matmul_backend(rng, n):
     np.testing.assert_allclose(got.imag, ref.imag, rtol=1e-3, atol=1e-2)
 
 
-@pytest.mark.parametrize("n", [256, 640])
+@pytest.mark.parametrize("n", [256, 640, 1024, 6400])
 def test_irfft_matmul_backend(rng, n):
     spec = rng.standard_normal((3, n // 2 + 1)) + 1j * rng.standard_normal((3, n // 2 + 1))
     spec = spec.astype(np.complex64)

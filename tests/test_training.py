@@ -1,0 +1,270 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from dualdiffusion_tpu.training import (SigmaSampler, SigmaSamplerConfig,
+                                        EMABank, EMAConfig, build_optimizer,
+                                        lr_schedule, normalize_mp_weights,
+                                        TrainState, UNetTrainConfig,
+                                        make_unet_train_step, init_train_state,
+                                        power_function_beta,
+                                        solve_posthoc_coefficients)
+from dualdiffusion_tpu.training import losses as L
+from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# sigma sampler
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dist", ["ln_normal", "ln_sech", "ln_sech^2",
+                                  "ln_linear", "linear", "scale_invariant",
+                                  "ln_pdf"])
+def test_sigma_distributions(key, dist):
+    cfg = SigmaSamplerConfig(distribution=dist)
+    s = SigmaSampler(cfg)
+    sig = np.asarray(s.sample(key, 4096, s.init_pdf_state()))
+    assert sig.shape == (4096,)
+    assert (sig >= cfg.sigma_min - 1e-6).all() and (sig <= cfg.sigma_max + 1e-6).all()
+
+
+def test_sigma_stratified_coverage(key):
+    """Stratified sampling: quantile strata cover [0,1] uniformly."""
+    cfg = SigmaSamplerConfig(distribution="ln_linear",
+                             use_stratified_sigma_sampling=True)
+    s = SigmaSampler(cfg)
+    sig = np.sort(np.asarray(s.sample(key, 256)))
+    ln = (np.log(sig) - cfg.ln_sigma_min) / (cfg.ln_sigma_max - cfg.ln_sigma_min)
+    # each stratum of width 1/256 has exactly one sample
+    strata = np.floor(ln * 256).astype(int).clip(0, 255)
+    assert len(np.unique(strata)) > 250
+
+
+def test_sigma_pdf_sanitize():
+    s = SigmaSampler(SigmaSamplerConfig(distribution="ln_pdf"))
+    pdf = jnp.asarray(np.array([1.0, 3.0, 2.0, 5.0, 1.0, 2.0, 0.5]))
+    clean = np.asarray(s._sanitize_pdf(pdf))
+    m = clean.argmax()
+    assert (np.diff(clean[:m + 1]) >= 0).all()
+    assert (np.diff(clean[m:]) <= 0).all()
+
+
+def test_sigma_pdf_update_from_logvar(key):
+    cfg = SigmaSamplerConfig(distribution="ln_pdf", sigma_pdf_warmup_steps=0)
+    s = SigmaSampler(cfg)
+    # lower logvar (=error) at mid sigmas -> higher pdf there
+    def logvar_fn(sigma):
+        return (jnp.log(sigma) - 0.0) ** 2 * 0.1
+    pdf = s.update_pdf_from_logvar(logvar_fn, s.init_pdf_state(), jnp.float32(1e9))
+    pdf = np.asarray(pdf)
+    assert pdf.argmax() not in (0, len(pdf) - 1)
+    np.testing.assert_allclose(pdf.sum(), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# EMA
+# ---------------------------------------------------------------------------
+
+def test_power_function_beta_monotone():
+    b1 = float(power_function_beta(0.1, 10000, 64))
+    b2 = float(power_function_beta(0.1, 1000000, 64))
+    assert 0 < b1 < b2 < 1
+
+
+def test_posthoc_coefficients_sum_to_one():
+    x = solve_posthoc_coefficients(np.array([1e4, 2e4, 3e4]),
+                                   np.array([0.05, 0.05, 0.05]),
+                                   np.array([3e4]), np.array([0.1]))
+    np.testing.assert_allclose(x.sum(), 1.0, rtol=1e-9)
+
+
+def test_ema_bank_update(key):
+    bank = EMABank([EMAConfig(name="a", beta=0.9),
+                    EMAConfig(name="p1", std=0.05)])
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    state = bank.init(params)
+    new_params = {"w": jnp.ones((4,)) * 2, "b": jnp.ones((2,))}
+    new_state, fb_params = bank.update(state, new_params,
+                                       jnp.float32(10000), 64, jnp.float32(100))
+    np.testing.assert_allclose(np.asarray(new_state["a"]["w"]),
+                               0.9 * 1 + 0.1 * 2, rtol=1e-6)
+    # no feedback configured -> params unchanged
+    np.testing.assert_allclose(np.asarray(fb_params["w"]), 2.0)
+
+
+def test_ema_feedback_and_switch(key):
+    bank = EMABank([EMAConfig(name="s", beta=0.5, feedback_beta=0.5,
+                              num_switch_ema_epochs=2)])
+    params = {"w": jnp.ones((2,))}
+    state = bank.init(params)
+    _, fb = bank.update(state, {"w": jnp.ones((2,)) * 3},
+                        jnp.float32(100), 4, jnp.float32(10))
+    # ema = 0.5*1 + 0.5*3 = 2; feedback: params = 0.5*3 + 0.5*2 = 2.5
+    np.testing.assert_allclose(np.asarray(fb["w"]), 2.5, rtol=1e-6)
+    switched, name = bank.maybe_switch(state, params, epoch=2, global_step=100)
+    assert name == "s"
+
+
+# ---------------------------------------------------------------------------
+# optim
+# ---------------------------------------------------------------------------
+
+def test_lr_schedules():
+    for name in ("edm2", "edm2_smooth", "constant"):
+        fn = lr_schedule(name, 1e-2, warmup_steps=100, reference_steps=1000)
+        assert float(fn(jnp.int32(0))) <= 1e-2 * 0.02
+        assert float(fn(jnp.int32(100))) == pytest.approx(1e-2, rel=0.1)
+        assert float(fn(jnp.int32(100000))) < 1e-2
+
+
+def test_normalize_mp_weights(key):
+    params = {"block": {"w_mp": jax.random.normal(key, (8, 4, 3, 3)) * 5,
+                        "w_raw": jax.random.normal(key, (8, 4)) * 5,
+                        "bias": jnp.ones((8,)) * 5}}
+    out = normalize_mp_weights(params)
+    rms = np.sqrt(np.mean(np.asarray(out["block"]["w_mp"]) ** 2, axis=(1, 2, 3)))
+    np.testing.assert_allclose(rms, 1.0, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out["block"]["w_raw"]),
+                                  np.asarray(params["block"]["w_raw"]))
+
+
+def test_dynamic_clip_zeroes_nan_grads(key):
+    opt = build_optimizer("adamw", 1e-3)
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    updates, state = opt.update(bad, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-8)
+
+
+def test_muon_optimizer_runs(key):
+    opt = build_optimizer("muon", 1e-3, muon_patterns=("*w_mp*",))
+    params = {"w_mp": jax.random.normal(key, (8, 16)),
+              "bias": jnp.zeros((8,))}
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates["w_mp"])).all()
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def test_mss_1d_zero_for_identical(key):
+    m = L.MSSLoss1D(L.MSSLoss1DConfig(block_widths=(64, 128)))
+    x = jax.random.normal(key, (2, 2, 1024))
+    a, p = m(x, x)
+    np.testing.assert_allclose(np.asarray(a), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), 0.0, atol=1e-5)
+    b, _ = m(x * 2, x)
+    assert (np.asarray(b) > 1e-4).all()
+
+
+def test_mss_2d(key):
+    m = L.MSSLoss2D(L.MSSLoss2DConfig(block_widths=(8, 16)))
+    x = jax.random.normal(key, (2, 2, 32, 32))
+    zero = m(x, x)
+    np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-5)
+    nz = m(jax.random.normal(jax.random.split(key)[0], x.shape), x)
+    assert (np.asarray(nz) > 1e-3).all()
+
+
+def test_random_prime_mss(key):
+    x = jax.random.normal(key, (2, 2, 64, 128))
+    zero = L.random_prime_mss_2d(key, x, x, num_iterations=4)
+    np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-6)
+
+
+def test_wavelet_and_kl_and_dispersion(key):
+    x = jax.random.normal(key, (2, 16, 16, 2))
+    np.testing.assert_allclose(np.asarray(L.wavelet_loss(x, x)), 0.0, atol=1e-6)
+    lat = jax.random.normal(key, (4, 8, 8, 4))
+    kl = np.asarray(L.kl_to_unit_loss(lat))
+    assert kl.shape == (4,) and (kl >= 0).all()
+    disp = np.asarray(L.latents_dispersion_loss(lat))
+    assert disp.shape == (4,)
+    pi = np.asarray(L.phase_invariance_loss(lat, lat))
+    np.testing.assert_allclose(pi, 0.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# the full train step (single-device then 8-device mesh)
+# ---------------------------------------------------------------------------
+
+def _build(key, grad_accum=1, total_batch=4):
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=8,
+                     model_channels=8, channel_mult=(1, 2),
+                     num_layers_per_block=1, channels_per_head=8,
+                     logvar_channels=16)
+    model = UNet(cfg)
+    x = jnp.zeros((1, 8, 16, 4))
+    emb_in = jnp.zeros((1, 8))
+    params = model.init(key, x, jnp.ones((1,)), emb_in, method=UNet.init_all)
+
+    def unet_apply(p, x, sigma, emb, ref, k):
+        return model.apply(p, x, sigma, emb, training=True, rngs={"dropout": k})
+
+    def get_emb(p, emb_in, mask):
+        return model.apply(p, emb_in, mask, method=UNet.get_embeddings)
+
+    def get_logvar(p, sigma):
+        return model.apply(p, sigma, method=UNet.get_sigma_loss_logvar)
+
+    tc = UNetTrainConfig(grad_accum_steps=grad_accum,
+                         sigma=SigmaSamplerConfig(distribution="ln_sech"))
+    opt = build_optimizer("adamw", 1e-3)
+    bank = EMABank([EMAConfig(name="std0.05", std=0.05)])
+    step = make_unet_train_step(unet_apply, get_emb, get_logvar, opt, bank,
+                                tc, total_batch_size=total_batch)
+    state = init_train_state(params, opt, bank, tc.sigma, key)
+    return step, state
+
+
+def test_train_step_runs_and_learns(key):
+    step, state = _build(key, grad_accum=2, total_batch=4)
+    batch = {"samples": jax.random.normal(key, (4, 8, 16, 4)),
+             "embeddings": jax.random.normal(key, (4, 8))}
+    jstep = jax.jit(step)
+    state1, logs1 = jstep(state, batch)
+    assert int(state1.global_step) == 1
+    assert np.isfinite(float(logs1["loss"]))
+    assert float(logs1["grad_norm"]) > 0
+    # params changed and stay mp-normalized
+    w_before = jax.tree_util.tree_leaves(state.params)[0]
+    w_after = jax.tree_util.tree_leaves(state1.params)[0]
+    assert np.abs(np.asarray(w_before) - np.asarray(w_after)).max() > 0
+    state2, logs2 = jstep(state1, batch)
+    assert int(state2.global_step) == 2
+    # bucketed losses populated
+    assert float(logs1["bucket_counts"].sum()) == 4
+
+
+def test_train_step_8device_mesh(key):
+    """Full DP train step over the virtual 8-device CPU mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dualdiffusion_tpu.parallel import make_mesh, batch_sharding, shard_batch
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    step, state = _build(key, grad_accum=1, total_batch=16)
+    batch = {"samples": jax.random.normal(key, (16, 8, 16, 4)),
+             "embeddings": jax.random.normal(key, (16, 8))}
+    batch = shard_batch(mesh, batch)
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(state, rep)
+    jstep = jax.jit(step, out_shardings=None)
+    state1, logs = jstep(state, batch)
+    assert np.isfinite(float(logs["loss"]))
+    assert int(state1.global_step) == 1
+    # params remain replicated
+    leaf = jax.tree_util.tree_leaves(state1.params)[0]
+    assert leaf.sharding.is_fully_replicated
