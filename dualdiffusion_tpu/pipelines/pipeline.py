@@ -1,0 +1,375 @@
+"""Pipeline: the named-module container with on-disk model directories.
+
+Capability parity with the reference's DualDiffusionPipeline
+(reference: src/pipelines/dual_diffusion_pipeline.py:126-752):
+
+  * a model directory ``<model>/`` holds ``model_index.json`` (module name ->
+    registered type + config class) and one subfolder per module with
+    ``<module>.json`` + ``<module>.safetensors``
+    (reference: src/modules/module.py:59-99).
+  * module classes come from an explicit registry instead of importlib of
+    arbitrary class paths (SURVEY.md §7.1 safety note).
+  * checkpoint inventory discovery (``<module>_checkpoint-<step>/``) and EMA
+    inventory (``ema_*.safetensors``, ``<module>_ema_archive/``)
+    (reference: dual_diffusion_pipeline.py:190-215).
+  * ``from_pretrained(..., load_ema=...)`` loads EMA weights in place of
+    train weights, including post-hoc reconstruction from an archive
+    (reference: src/modules/module.py:151-174).
+  * sampling orchestration: ``diffusion_decode`` (latent EDM sampling) and
+    the full ``generate`` (latents -> DAE decode -> FGLA or DDEC -> audio)
+    (reference: dual_diffusion_pipeline.py:350-752).
+
+Flax param pytrees are stored flattened with '/'-joined keys in safetensors.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import (config_from_dict, config_to_dict, load_json,
+                     load_safetensors, save_json, save_safetensors)
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_MODULE_REGISTRY: Dict[str, Tuple[Callable, type]] = {}
+
+
+def register_module(name: str, factory: Callable, config_class: type) -> None:
+    """Register a module type: factory(config) -> flax module (or format)."""
+    _MODULE_REGISTRY[name] = (factory, config_class)
+
+
+def get_module_class(name: str) -> Tuple[Callable, type]:
+    if name not in _MODULE_REGISTRY:
+        raise KeyError(f"unknown module type '{name}'; known: {sorted(_MODULE_REGISTRY)}")
+    return _MODULE_REGISTRY[name]
+
+
+def _register_builtins() -> None:
+    from ..models.dae import DAE, DAEConfig
+    from ..models.unet import UNet, UNetConfig
+    from ..models import formats as _formats_pkg  # populate the registry
+    from ..models.formats.format import _FORMAT_REGISTRY
+    register_module("unet", lambda cfg: UNet(cfg), UNetConfig)
+    register_module("ddec", lambda cfg: UNet(cfg), UNetConfig)
+    register_module("dae", lambda cfg: DAE(cfg), DAEConfig)
+    for fname, (cls, cfg_cls) in _FORMAT_REGISTRY.items():
+        register_module(f"format:{fname}", (lambda c=cls: (lambda cfg: c(cfg)))(), cfg_cls)
+
+
+_register_builtins()
+
+
+# ---------------------------------------------------------------------------
+# flat param <-> safetensors
+# ---------------------------------------------------------------------------
+
+def _flatten(variables) -> Dict[str, np.ndarray]:
+    """Flatten a variables pytree to '/'-joined keys. Scalar () params are
+    stored as shape (1,) (safetensors requirement) with a '#0d' key suffix
+    marking them for exact restoration."""
+    from flax.traverse_util import flatten_dict
+    flat = flatten_dict(jax.tree_util.tree_map(np.asarray, variables), sep="/")
+    out = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if v.ndim == 0:
+            out[k + "#0d"] = v.reshape(1)
+        else:
+            out[k] = v
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    from flax.traverse_util import unflatten_dict
+    fixed = {}
+    for k, v in flat.items():
+        if k.endswith("#0d"):
+            fixed[k[:-3]] = np.asarray(v).reshape(())
+        else:
+            fixed[k] = v
+    return jax.tree_util.tree_map(jnp.asarray,
+                                  unflatten_dict({tuple(k.split("/")): v
+                                                  for k, v in fixed.items()}))
+
+
+def save_module(path: Union[str, Path], name: str, module_type: str,
+                config, variables: Optional[Any],
+                last_global_step: int = 0) -> None:
+    """Write ``<path>/<name>/<name>.json`` + ``<name>.safetensors``."""
+    d = Path(path) / name
+    d.mkdir(parents=True, exist_ok=True)
+    cfg = config_to_dict(config)
+    cfg["__module_type__"] = module_type
+    cfg["__last_global_step__"] = last_global_step
+    save_json(cfg, d / f"{name}.json")
+    if variables is not None:
+        save_safetensors(_flatten(variables), d / f"{name}.safetensors")
+
+
+def load_module(path: Union[str, Path], name: str,
+                load_ema: Optional[str] = None):
+    """-> (module_type, config, variables_or_None)."""
+    d = Path(path) / name
+    raw = load_json(d / f"{name}.json")
+    module_type = raw.pop("__module_type__")
+    raw.pop("__last_global_step__", None)
+    _, cfg_cls = get_module_class(module_type)
+    config = config_from_dict(cfg_cls, raw)
+    variables = None
+    weights = d / f"{name}.safetensors"
+    if load_ema:
+        ema_path = d / f"ema_{load_ema}.safetensors"
+        if ema_path.is_file():
+            weights = ema_path
+        else:
+            # post-hoc EMA: "phema_<std>" synthesizes from the archive
+            m = re.match(r"phema_([0-9.]+)", load_ema)
+            if m and (d / "ema_archive").is_dir():
+                from ..training.ema import reconstruct_phema
+                flat = reconstruct_phema(float(m.group(1)), str(d / "ema_archive"))
+                return module_type, config, _unflatten(flat)
+            raise FileNotFoundError(f"no EMA '{load_ema}' for module '{name}' in {d}")
+    if weights.is_file():
+        variables = _unflatten(load_safetensors(weights))
+    return module_type, config, variables
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ModuleHandle:
+    name: str
+    module_type: str
+    config: Any
+    module: Any            # flax module (or Format instance)
+    variables: Optional[Any] = None
+
+
+class Pipeline:
+    """Named-module container + generation orchestration."""
+
+    def __init__(self, modules: Dict[str, ModuleHandle],
+                 dataset_embeddings: Optional[Dict[str, np.ndarray]] = None):
+        self.modules = modules
+        self.dataset_embeddings = dataset_embeddings or {}
+
+    def __getattr__(self, name: str):
+        modules = self.__dict__.get("modules", {})
+        if name in modules:
+            return modules[name]
+        raise AttributeError(name)
+
+    @property
+    def format(self):
+        for h in self.modules.values():
+            if h.module_type.startswith("format:"):
+                return h.module
+        return None
+
+    # ---- io ------------------------------------------------------------
+    def save_pretrained(self, model_path: Union[str, Path],
+                        last_global_step: int = 0) -> None:
+        model_path = Path(model_path)
+        model_path.mkdir(parents=True, exist_ok=True)
+        index = {"modules": {h.name: h.module_type for h in self.modules.values()},
+                 "framework": "dualdiffusion_tpu"}
+        save_json(index, model_path / "model_index.json")
+        for h in self.modules.values():
+            save_module(model_path, h.name, h.module_type, h.config,
+                        h.variables, last_global_step)
+        if self.dataset_embeddings:
+            save_safetensors({k: np.asarray(v) for k, v in self.dataset_embeddings.items()},
+                             model_path / "dataset_embeddings.safetensors")
+
+    @classmethod
+    def from_pretrained(cls, model_path: Union[str, Path],
+                        load_checkpoints: bool = False,
+                        load_emas: Optional[Dict[str, str]] = None) -> "Pipeline":
+        model_path = Path(model_path)
+        index = load_json(model_path / "model_index.json")
+        load_emas = load_emas or {}
+        modules: Dict[str, ModuleHandle] = {}
+        for name, module_type in index["modules"].items():
+            get_module_class(module_type)  # fail fast on unknown types
+            src = model_path
+            if load_checkpoints:
+                ckpt = cls.get_latest_checkpoint(model_path, name)
+                if ckpt is not None:
+                    src = ckpt
+            module_type_l, config, variables = load_module(
+                src, name, load_ema=load_emas.get(name))
+            factory, _ = get_module_class(module_type_l)
+            modules[name] = ModuleHandle(name, module_type_l, config,
+                                         factory(config), variables)
+        emb_path = model_path / "dataset_embeddings.safetensors"
+        dataset_embeddings = load_safetensors(emb_path) if emb_path.is_file() else {}
+        return cls(modules, dataset_embeddings)
+
+    # ---- inventory (reference: dual_diffusion_pipeline.py:190-215) -------
+    @staticmethod
+    def get_checkpoints(model_path: Union[str, Path], module_name: str) -> List[Path]:
+        model_path = Path(model_path)
+        pat = re.compile(rf"^{re.escape(module_name)}_checkpoint-(\d+)$")
+        out = []
+        if model_path.is_dir():
+            for p in model_path.iterdir():
+                m = pat.match(p.name)
+                if m and p.is_dir():
+                    out.append((int(m.group(1)), p))
+        return [p for _, p in sorted(out)]
+
+    @classmethod
+    def get_latest_checkpoint(cls, model_path, module_name) -> Optional[Path]:
+        ckpts = cls.get_checkpoints(model_path, module_name)
+        return ckpts[-1] if ckpts else None
+
+    @staticmethod
+    def get_available_emas(model_path: Union[str, Path], module_name: str) -> List[str]:
+        d = Path(model_path) / module_name
+        if not d.is_dir():
+            return []
+        return sorted(p.name[len("ema_"):-len(".safetensors")]
+                      for p in d.iterdir()
+                      if p.name.startswith("ema_") and p.name.endswith(".safetensors"))
+
+    # ---- prompt -> embedding (reference :399-420) -------------------------
+    def get_prompt_embedding(self, prompt: Dict[str, float]) -> Optional[jnp.ndarray]:
+        """Weighted sum of per-label dataset audio+text embeddings,
+        normalized; falls back to None if no dataset embeddings exist."""
+        if not self.dataset_embeddings:
+            return None
+        dim = None
+        total = None
+        for label, weight in prompt.items():
+            for kind in ("audio", "text"):
+                k = f"{label}_{kind}"
+                if k in self.dataset_embeddings:
+                    v = jnp.asarray(self.dataset_embeddings[k], jnp.float32) * weight
+                    total = v if total is None else total + v
+        if total is None:
+            ua = self.dataset_embeddings.get("_unconditional_audio")
+            if ua is None:
+                return None
+            total = jnp.asarray(ua, jnp.float32)
+        from ..models.mp import normalize
+        return normalize(total.reshape(1, -1), axis=-1)
+
+    # ---- generation -------------------------------------------------------
+    def diffusion_decode(self, params, key: jax.Array,
+                         sample_shape: Optional[Tuple[int, ...]] = None,
+                         audio_embedding: Optional[jnp.ndarray] = None,
+                         x_ref: Optional[jnp.ndarray] = None,
+                         module_name: str = "unet",
+                         init_sample: Optional[jnp.ndarray] = None):
+        """Latent (or conditioned) EDM sampling with the named UNet module
+        (reference: dual_diffusion_pipeline.py:589-752)."""
+        from ..sampling import edm_sample
+        h = self.modules[module_name]
+        unet, uvars, ucfg = h.module, h.variables, h.config
+
+        if audio_embedding is not None and ucfg.in_channels_emb > 0:
+            from ..models.unet import UNet as _U
+            emb_c = unet.apply(uvars, audio_embedding,
+                               jnp.ones((audio_embedding.shape[0],)),
+                               method=_U.get_embeddings)
+            emb_u = unet.apply(uvars, audio_embedding,
+                               jnp.zeros((audio_embedding.shape[0],)),
+                               method=_U.get_embeddings)
+            emb2 = jnp.concatenate([emb_c, emb_u], axis=0)
+        else:
+            emb2 = None
+
+        ref2 = None
+        if x_ref is not None:
+            ref2 = jnp.concatenate([x_ref, x_ref], axis=0)
+            sample_shape = sample_shape or tuple(
+                x_ref.shape[:1]) + tuple(x_ref.shape[1:])
+        assert sample_shape is not None, "sample_shape required without x_ref"
+
+        if params.seamless_loop and x_ref is not None:
+            raise NotImplementedError(
+                "seamless loop with reference conditioning is not wired yet")
+
+        use_cfg = emb2 is not None
+        ref_in = ref2 if use_cfg else x_ref
+
+        def denoise(x, sigma):
+            return unet.apply(uvars, x, sigma, emb2, ref_in)
+
+        return edm_sample(denoise, sample_shape, params,
+                          params.sigma_max or ucfg.sigma_max,
+                          params.sigma_min or ucfg.sigma_min,
+                          params.sigma_data or ucfg.sigma_data,
+                          key, init_sample=init_sample, use_cfg=use_cfg)
+
+    def generate(self, params, key: jax.Array,
+                 prompt_embedding: Optional[jnp.ndarray] = None,
+                 decode_mode: str = "auto"):
+        """Full generation: latent sampling -> DAE decode -> audio.
+
+        decode_mode: "fgla" (mel unscale + FGLA), "ddec" (diffusion decoder
+        on MDCT), or "auto" (ddec if present else fgla).
+        Returns dict(raw, sample/mel, latents, debug).
+        """
+        fmt = self.format
+        assert fmt is not None, "pipeline has no format module"
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        dae_h = self.modules.get("dae")
+        if dae_h is not None:
+            from ..models.dae import DAE as _DAE
+            mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
+            lat_shape = dae_h.module.apply(dae_h.variables, mel_shape,
+                                           method=_DAE.get_latent_shape)
+            latents, debug = self.diffusion_decode(
+                params, k1, sample_shape=tuple(lat_shape),
+                audio_embedding=prompt_embedding)
+            mel = dae_h.module.apply(dae_h.variables, latents,
+                                     method=_DAE.decode).astype(jnp.float32)
+        else:
+            mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
+            mel, debug = self.diffusion_decode(
+                params, k1, sample_shape=tuple(mel_shape),
+                audio_embedding=prompt_embedding)
+            latents = None
+
+        if decode_mode == "auto":
+            decode_mode = "ddec" if "ddec" in self.modules else "fgla"
+
+        if decode_mode == "ddec":
+            from ..models.formats.ms_mdct_dual import MSMDCTDualFormat
+            assert isinstance(fmt, MSMDCTDualFormat), \
+                "ddec decode requires the ms_mdct_dual format"
+            lin = fmt.mel_spec_to_linear(mel)
+            mdct_shape = fmt.get_mdct_shape(params.batch_size, params.length)
+            w = min(lin.shape[2], mdct_shape[2])
+            coeffs, ddbg = self.diffusion_decode(
+                params, k2, sample_shape=(mdct_shape[0], mdct_shape[1], w,
+                                          mdct_shape[3]),
+                x_ref=lin[:, :, :w], module_name="ddec")
+            raw = fmt.mdct_to_raw(coeffs)
+            debug["ddec"] = ddbg
+        else:
+            raw = fmt.sample_to_raw(mel, n_fgla_iters=params.num_fgla_iters,
+                                    key=k3)
+
+        if params.seamless_loop:
+            from ..sampling.sampler import seamless_loop_crossfade
+            hop = getattr(fmt.config, "hop_length",
+                          getattr(fmt.config, "ms_hop_length", 256))
+            raw = seamless_loop_crossfade(raw, hop)
+
+        return {"raw": raw, "sample": mel, "latents": latents, "debug": debug}

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mp import normalize
+from ..models.mp import mp_sum, normalize
 from .schedule import get_schedule
 
 
@@ -54,6 +54,11 @@ class SampleParams:
     use_heun: bool = True
     input_perturbation: float = 1.0
     input_perturbation_offset: float = 0.0
+    # "cosh": the __call__ variant (ref :493-501) with per-step renorm;
+    # "tanh": the live diffusion_decode variant (ref :682-697), no renorm
+    perturbation_shape: str = "cosh"
+    renormalize_per_step: Optional[bool] = None   # default: shape == "cosh"
+    init_noise_mode: str = "sigma_max"            # or "sigma_plus_data"
     num_fgla_iters: int = 200
 
     img2img_strength: float = 0.5
@@ -74,9 +79,15 @@ def _per_step_constants(params: SampleParams, sigma_max: float, sigma_min: float
     sigma_curr = sched[:-1].astype(np.float64)
     sigma_next_sched = sched[1:].astype(np.float64)
 
-    eff = params.input_perturbation * (
-        1.0 - 1.0 / np.cosh(np.log(sigma_next_sched * sigma_curr) / 2.0
-                            + params.input_perturbation_offset)) ** 2
+    if params.perturbation_shape == "cosh":
+        eff = params.input_perturbation * (
+            1.0 - 1.0 / np.cosh(np.log(sigma_next_sched * sigma_curr) / 2.0
+                                + params.input_perturbation_offset)) ** 2
+    elif params.perturbation_shape == "tanh":
+        ipo = np.log(sigma_curr) + params.input_perturbation_offset
+        eff = (np.tanh(ipo) / 2.0 + 0.5) * params.input_perturbation
+    else:
+        raise ValueError(f"unknown perturbation_shape {params.perturbation_shape}")
     eff = np.clip(eff, 0.0, 1.0)
     old_sigma_next = sigma_next_sched.copy()
     sigma_next = sigma_next_sched * (1.0 - eff)
@@ -108,7 +119,8 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                sigma_max: float, sigma_min: float, sigma_data: float,
                key: jax.Array,
                init_sample: Optional[jnp.ndarray] = None,
-               return_debug: bool = True):
+               return_debug: bool = True,
+               use_cfg: bool = True):
     """Run the EDM sampler.
 
     denoise_fn(x_doubled, sigma_doubled) -> D_x doubled-batch output; the
@@ -124,10 +136,17 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
 
     key, nk = jax.random.split(key)
     noise = _draw_noise(nk, sample_shape, params.stereo_fix)
-    if init_sample is not None:
-        sample = noise * sched[0] + init_sample.astype(jnp.float32) * sigma_data
+    if params.init_noise_mode == "sigma_plus_data":
+        init_scale = float(np.sqrt(sched[0] ** 2 + sigma_data ** 2))
     else:
-        sample = noise * sched[0]
+        init_scale = float(sched[0])
+    if init_sample is not None:
+        sample = noise * init_scale + init_sample.astype(jnp.float32) * sigma_data
+    else:
+        sample = noise * init_scale
+    renorm_steps = (params.renormalize_per_step
+                    if params.renormalize_per_step is not None
+                    else params.perturbation_shape == "cosh")
 
     def step(carry, xs):
         sample, key = carry
@@ -141,17 +160,23 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         else:
             x = sample
 
-        x2 = jnp.concatenate([x, x], axis=0)
-        sig2 = jnp.full((2 * b,), sc, jnp.float32)
-        out = denoise_fn(x2, sig2).astype(jnp.float32)
-        cfg_out = out[b:] + (out[:b] - out[b:]) * params.cfg_scale
+        def run_model(x_in, sigma_val):
+            """One (possibly CFG-doubled) model call + guidance blend.
+            Without CFG the batch is NOT doubled (reference
+            diffusion_decode :661-666 skips doubling when unconditional)."""
+            if use_cfg:
+                x2 = jnp.concatenate([x_in, x_in], axis=0)
+                sig2 = jnp.full((2 * b,), sigma_val, jnp.float32)
+                out = denoise_fn(x2, sig2).astype(jnp.float32)
+                return out[b:] + (out[:b] - out[b:]) * params.cfg_scale
+            sig1 = jnp.full((b,), sigma_val, jnp.float32)
+            return denoise_fn(x_in, sig1).astype(jnp.float32)
+
+        cfg_out = run_model(x, sc)
 
         if params.use_heun:
             x_hat = cfg_out + (x - cfg_out) * th
-            x_hat2 = jnp.concatenate([x_hat, x_hat], axis=0)
-            sig_hat2 = jnp.full((2 * b,), sh, jnp.float32)
-            out_hat = denoise_fn(x_hat2, sig_hat2).astype(jnp.float32)
-            cfg_hat = out_hat[b:] + (out_hat[:b] - out_hat[b:]) * params.cfg_scale
+            cfg_hat = run_model(x_hat, sh)
             cfg_out = 0.5 * (cfg_out + cfg_hat)
 
         new = cfg_out + (x - cfg_out) * tl
@@ -163,7 +188,8 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
             cfg_dbg = cfg_out
 
         new = new + _draw_noise(k_noise, sample_shape, params.stereo_fix) * ra
-        new = normalize(new) * rn
+        if renorm_steps:
+            new = normalize(new) * rn
 
         dbg = {"sample_std": jnp.std(new), "cfg_output_mean": jnp.mean(cfg_dbg),
                "cfg_output_std": jnp.std(cfg_dbg)}
@@ -182,15 +208,15 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
 
 def _draw_noise(key: jax.Array, shape: Tuple[int, ...], stereo_fix: float) -> jnp.ndarray:
     """Gaussian noise with optional stereo correlation
-    (reference: dual_diffusion_pipeline.py:638-641): channels are blended
-    toward their mean by ``stereo_fix`` then renormalized."""
-    noise = jax.random.normal(key, shape, jnp.float32)
+    (reference: dual_diffusion_pipeline.py:638-641): copy channel 1 into
+    channel 0 (fully correlated) then mp_sum fresh noise toward it with
+    t = stereo_fix — magnitude-preserving by construction."""
+    k1, k2 = jax.random.split(key)
+    noise = jax.random.normal(k1, shape, jnp.float32)
     if stereo_fix > 0 and shape[-1] >= 2:
-        mean = jnp.mean(noise, axis=-1, keepdims=True)
-        mixed = noise + (mean - noise) * stereo_fix
-        # restore unit variance: var = (1-s)^2 + s^2/C ... approximate per-mix
-        std = jnp.std(mixed, axis=(-3, -2), keepdims=True) + 1e-8
-        noise = mixed / std
+        corr = jnp.broadcast_to(noise[..., 1:2], noise.shape)
+        fresh = jax.random.normal(k2, shape, jnp.float32)
+        noise = mp_sum(fresh, corr, t=stereo_fix)
     return noise
 
 

@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+from dualdiffusion_tpu.models.formats import SpectrogramFormatConfig
+from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+from dualdiffusion_tpu.pipelines import (Pipeline, ModuleHandle,
+                                         get_module_class, save_module,
+                                         load_module)
+from dualdiffusion_tpu.sampling import SampleParams
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def make_pipeline(key):
+    ucfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=16,
+                      model_channels=8, channel_mult=(1, 2),
+                      num_layers_per_block=1, channels_per_head=8,
+                      logvar_channels=16)
+    unet = UNet(ucfg)
+    uvars = unet.init(key, jnp.zeros((1, 8, 16, 4)), jnp.ones((1,)),
+                      jnp.zeros((1, 16)), method=UNet.init_all)
+
+    dcfg = DAEConfig(model_channels=8, channel_mult_enc=(1, 2),
+                     channel_mult_dec=(1, 2), num_enc_layers_per_block=1,
+                     num_dec_layers_per_block=1, latent_channels=4,
+                     in_channels=2, out_channels=2)
+    dae = DAE(dcfg)
+    dvars = dae.init(key, jnp.zeros((1, 16, 32, 2)))
+
+    fcfg = SpectrogramFormatConfig(window_duration_ms=8, padded_duration_ms=8,
+                                   num_frequencies=16, num_fgla_iters=4,
+                                   step_size_ms=2)
+    ffac, _ = get_module_class("format:spectrogram")
+    fmt = ffac(fcfg)
+
+    emb_table = {"gameA_audio": np.random.default_rng(0).standard_normal(16).astype(np.float32),
+                 "_unconditional_audio": np.zeros(16, np.float32)}
+    return Pipeline({
+        "unet": ModuleHandle("unet", "unet", ucfg, unet, uvars),
+        "dae": ModuleHandle("dae", "dae", dcfg, dae, dvars),
+        "format": ModuleHandle("format", "format:spectrogram", fcfg, fmt, None),
+    }, dataset_embeddings=emb_table)
+
+
+def test_save_load_roundtrip(tmp_path, key):
+    pipe = make_pipeline(key)
+    pipe.save_pretrained(tmp_path / "model")
+    assert (tmp_path / "model" / "model_index.json").is_file()
+    assert (tmp_path / "model" / "unet" / "unet.safetensors").is_file()
+
+    loaded = Pipeline.from_pretrained(tmp_path / "model")
+    assert set(loaded.modules) == {"unet", "dae", "format"}
+    # weights identical
+    a = jax.tree_util.tree_leaves(pipe.modules["unet"].variables)
+    b = jax.tree_util.tree_leaves(loaded.modules["unet"].variables)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # format reconstructed with config
+    assert loaded.format.config.num_frequencies == 16
+    # dataset embeddings round-trip
+    assert "gameA_audio" in loaded.dataset_embeddings
+
+
+def test_ema_inventory_and_load(tmp_path, key):
+    pipe = make_pipeline(key)
+    pipe.save_pretrained(tmp_path / "m")
+    # write an EMA file: scaled copy of weights
+    from dualdiffusion_tpu.pipelines.pipeline import _flatten
+    from dualdiffusion_tpu.utils import save_safetensors
+    flat = _flatten(pipe.modules["unet"].variables)
+    save_safetensors({k: v * 0.5 for k, v in flat.items()},
+                     tmp_path / "m" / "unet" / "ema_std0.05.safetensors")
+    assert Pipeline.get_available_emas(tmp_path / "m", "unet") == ["std0.05"]
+    loaded = Pipeline.from_pretrained(tmp_path / "m",
+                                      load_emas={"unet": "std0.05"})
+    l0 = jax.tree_util.tree_leaves(loaded.modules["unet"].variables)[0]
+    p0 = jax.tree_util.tree_leaves(pipe.modules["unet"].variables)[0]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(p0) * 0.5, rtol=1e-6)
+
+
+def test_checkpoint_discovery(tmp_path, key):
+    pipe = make_pipeline(key)
+    pipe.save_pretrained(tmp_path / "m")
+    for step in (100, 500, 250):
+        d = tmp_path / "m" / f"unet_checkpoint-{step}"
+        save_module(d, "unet", "unet", pipe.modules["unet"].config,
+                    pipe.modules["unet"].variables, step)
+    latest = Pipeline.get_latest_checkpoint(tmp_path / "m", "unet")
+    assert latest.name == "unet_checkpoint-500"
+    loaded = Pipeline.from_pretrained(tmp_path / "m", load_checkpoints=True)
+    assert loaded.modules["unet"].variables is not None
+
+
+def test_prompt_embedding(key):
+    pipe = make_pipeline(key)
+    e = pipe.get_prompt_embedding({"gameA": 1.0})
+    assert e.shape == (1, 16)
+    # falls back to unconditional for unknown prompt
+    e2 = pipe.get_prompt_embedding({})
+    assert e2 is not None
+
+
+def test_generate_end_to_end(key):
+    pipe = make_pipeline(key)
+    params = SampleParams(steps=2, use_heun=False, cfg_scale=1.5,
+                          length=4096, batch_size=1, num_fgla_iters=2)
+    emb = pipe.get_prompt_embedding({"gameA": 1.0})
+    out = pipe.generate(params, key, prompt_embedding=emb)
+    assert out["raw"].ndim == 3 and out["raw"].shape[1] == 2
+    assert bool(jnp.isfinite(out["raw"]).all())
+    assert out["latents"] is not None
+
+
+def test_unknown_module_type():
+    with pytest.raises(KeyError):
+        get_module_class("bogus_type")
