@@ -194,6 +194,26 @@ class MSMDCTDualFormat(Format):
         lin = lin[:, :-1]                                     # drop last stft bin
         return (lin + cfg.mel_spec_to_linear_offset) / cfg.mel_spec_to_linear_scale
 
+    def sample_to_raw_fgla(self, mel_spec: jnp.ndarray,
+                           n_fgla_iters: int = 200,
+                           key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """FGLA fallback decode for the dual format: mel -> linear PSD ->
+        Griffin-Lim on the 4096-pt STFT grid. The reference decodes this
+        format only through the DDEC; this provides the legacy FGLA path so
+        a ddec-less pipeline can still produce audio."""
+        from ...ops import get_window, griffinlim
+        cfg = self.config
+        lin = self.mel_spec_to_linear(mel_spec)
+        lin = lin * cfg.mel_spec_to_linear_scale - cfg.mel_spec_to_linear_offset
+        lin = jnp.maximum(lin, 0.0)
+        # restore the dropped last stft bin
+        lin = jnp.pad(lin, [(0, 0), (0, 1), (0, 0), (0, 0)])
+        mag = jnp.transpose(lin, (0, 3, 2, 1))  # (B, C, frames, bins)
+        win = get_window("hann", cfg.ms_window_length, periodic=True)
+        return griffinlim(mag, win, cfg.ms_window_length, cfg.ms_hop_length,
+                          n_iter=n_fgla_iters, stereo=cfg.num_raw_channels == 2,
+                          key=key)
+
     # ---- mdct path -----------------------------------------------------------
     def raw_to_mdct(self, raw: jnp.ndarray, random_phase_augmentation: bool = False,
                     key: Optional[jax.Array] = None) -> jnp.ndarray:

@@ -117,12 +117,16 @@ def resample_1d(x: jnp.ndarray, mode: str = "keep") -> jnp.ndarray:
 
 
 def resample_2d(x: jnp.ndarray, mode: str = "keep", ratio: int = 2) -> jnp.ndarray:
-    """(..., H, W, C): down = ratio x ratio avg-pool, up = nearest."""
+    """(..., H, W, C): down = ratio x ratio avg-pool (floor semantics like
+    torch avg_pool2d: trailing remainder rows/cols dropped), up = nearest."""
     if mode == "keep":
         return x
     h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
     if mode == "down":
-        y = x.reshape(x.shape[:-3] + (h // ratio, ratio, w // ratio, ratio, c))
+        he, we = h // ratio * ratio, w // ratio * ratio
+        if he != h or we != w:
+            x = x[..., :he, :we, :]
+        y = x.reshape(x.shape[:-3] + (he // ratio, ratio, we // ratio, ratio, c))
         return y.mean(axis=(-4, -2))
     if mode == "up":
         return jnp.repeat(jnp.repeat(x, ratio, axis=-3), ratio, axis=-2)

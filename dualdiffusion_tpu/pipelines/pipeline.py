@@ -362,6 +362,9 @@ class Pipeline:
                 x_ref=lin[:, :, :w], module_name="ddec")
             raw = fmt.mdct_to_raw(coeffs)
             debug["ddec"] = ddbg
+        elif hasattr(fmt, "sample_to_raw_fgla"):
+            raw = fmt.sample_to_raw_fgla(mel, n_fgla_iters=params.num_fgla_iters,
+                                         key=k3)
         else:
             raw = fmt.sample_to_raw(mel, n_fgla_iters=params.num_fgla_iters,
                                     key=k3)

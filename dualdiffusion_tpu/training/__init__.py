@@ -7,3 +7,6 @@ from .optim import (build_optimizer, dynamic_grad_clip, lr_schedule, muon,
 from .train_state import (TrainState, UNetTrainConfig, make_unet_train_step,
                           init_train_state)
 from . import losses
+from .module_trainers import (DDECTrainConfig, DAETrainConfig,
+                              make_ddec_train_step, make_dae_train_step,
+                              random_stereo_augmentation)

@@ -1,0 +1,301 @@
+"""Module trainers: the per-module training strategies.
+
+Capability parity with the reference's ModuleTrainer plug-in architecture
+(reference: src/training/module_trainers/module_trainer.py:29-45 and the
+concrete unet/dae/ddec trainers). In this framework a module trainer is a
+builder producing a pure jitted train step:
+
+  * UNet (latent diffusion) — make_unet_train_step in train_state.py
+    (reference: unet_trainer.py:74-308).
+  * DDEC — the same diffusion step with a gradient-free teacher prepare
+    stage: audio -> (stereo aug) -> MDCT (random phase aug) -> back to raw
+    -> mel spec -> frozen DAE recon -> mel_spec_to_linear conditioning
+    (reference: ddec_q4_trainer.py:46-145; the ground-truth-conditioned
+    ddecmp_p4 variant via ``condition_on_ground_truth=True``,
+    reference: ddecmp_p4_trainer.py:102-119).
+  * DAE — mel-spec-domain recon training with MSS2D (or randomized-prime
+    MSS), decaying point-L1 warmup, recon NLL via learned logvar,
+    phase-invariance and dispersion latent regularizers with warmup, and
+    KL-to-unit-variance on pre-norm latents
+    (reference: dae_p1_trainer.py:228-431; the MDCT-domain m1 variant via
+    ``domain="mdct"``, reference: dae_trainer_m1.py:300-491).
+
+All batch preparation (augmentations, format transforms, teachers) runs
+inside the jitted step — no host round trips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.mp import normalize
+from . import losses as L
+from .ema import EMABank
+from .optim import normalize_mp_weights
+from .train_state import TrainState, UNetTrainConfig, make_unet_train_step
+
+
+def random_stereo_augmentation(key: jax.Array, audio: jnp.ndarray) -> jnp.ndarray:
+    """Randomly swap L/R per sample (reference: ddec_q4_trainer.py:36-44).
+    audio: (B, C, T)."""
+    flip = jax.random.bernoulli(key, 0.5, (audio.shape[0],))
+    flipped = jnp.flip(audio, axis=1)
+    return jnp.where(flip[:, None, None], flipped, audio)
+
+
+# ---------------------------------------------------------------------------
+# DDEC trainer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DDECTrainConfig:
+    unet: UNetTrainConfig = field(default_factory=UNetTrainConfig)
+    random_stereo_augmentation: bool = True
+    random_phase_augmentation: bool = True
+    crop_edges: int = 4
+    condition_on_ground_truth: bool = False  # ddecmp_p4 variant
+
+
+def make_ddec_train_step(ddec_apply: Callable, get_logvar: Callable,
+                         dae_model, dae_variables, fmt,
+                         optimizer: optax.GradientTransformation,
+                         ema_bank: Optional[EMABank],
+                         config: DDECTrainConfig, total_batch_size: int,
+                         dae_get_embeddings: Optional[Callable] = None):
+    """DDEC training: the frozen DAE is the conditioning teacher."""
+    from ..models.dae import DAE as _DAE
+    cfg = config
+    c = cfg.crop_edges
+    cfg.unet.crop_edges = 0  # cropping happens in prepare
+
+    def prepare(batch, key):
+        k_st, k_ph = jax.random.split(key)
+        audio = batch["audio"].astype(jnp.float32)
+        if cfg.random_stereo_augmentation:
+            audio = random_stereo_augmentation(k_st, audio)
+        # mdct with random phase augmentation, then back to raw so the
+        # training target and the conditioning share the same phases
+        mdct = fmt.raw_to_mdct(audio,
+                               random_phase_augmentation=cfg.random_phase_augmentation,
+                               key=k_ph)
+        raw = fmt.mdct_to_raw(mdct)
+        mel = fmt.raw_to_mel_spec(raw)
+
+        emb_in = batch.get("audio_embeddings")
+        if emb_in is not None and dae_get_embeddings is not None:
+            dae_emb = dae_get_embeddings(dae_variables, normalize(emb_in, axis=-1))
+        else:
+            dae_emb = None
+
+        # width-align the mel to the DAE downsample ratio so decode returns
+        # the same width (the reference trains on pre-aligned crops)
+        ds = dae_model.downsample_ratio
+        mel = mel[:, :, : mel.shape[2] // ds * ds]
+        if cfg.condition_on_ground_truth:
+            recon_mel = mel  # ddecmp_p4: condition on ground truth mel
+        else:
+            _, recon_mel, _ = dae_model.apply(dae_variables, mel, dae_emb,
+                                              training=False)
+        recon_mel = recon_mel[:, :, c:-c] if c > 0 else recon_mel
+        lin = fmt.mel_spec_to_linear(recon_mel.astype(jnp.float32))
+        mdct_c = mdct[:, :, c:-c] if c > 0 else mdct
+        mdct_c = mdct_c[:, :, : lin.shape[2]]
+        out = {"samples": mdct_c, "ref_samples": lin}
+        if emb_in is not None:
+            out["embeddings"] = emb_in
+        return out
+
+    def no_embeddings(params, emb_in, mask):
+        return None  # ddec has no label embedding (in_channels_emb == 0)
+
+    return make_unet_train_step(ddec_apply, no_embeddings, get_logvar,
+                                optimizer, ema_bank, cfg.unet,
+                                total_batch_size, prepare_fn=prepare)
+
+
+# ---------------------------------------------------------------------------
+# DAE trainer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DAETrainConfig:
+    kl_loss_weight: float = 0.01
+    kl_mean_weight: float = 1.0
+    kl_warmup_steps: int = 20000
+    phase_invariance_loss_weight: float = 1.0
+    latents_dispersion_loss_weight: float = 0.0
+    latents_regularization_warmup_steps: int = 20000
+    point_loss_weight: float = 2.0
+    point_loss_warmup_steps: int = 100
+    random_stereo_augmentation: bool = True
+    crop_edges: int = 4
+    grad_accum_steps: int = 1
+    domain: str = "mel"               # "mel" (p1) | "mdct" (m1)
+    use_random_prime_mss: bool = False
+    mss2d: L.MSSLoss2DConfig = field(default_factory=L.MSSLoss2DConfig)
+
+
+def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
+                        ema_bank: Optional[EMABank], config: DAETrainConfig,
+                        total_batch_size: int,
+                        get_embeddings: Optional[Callable] = None):
+    """Build the DAE train step over variables = {"params", "stats"}.
+
+    batch: {"audio": (B, C, T), "audio_embeddings": optional}.
+    """
+    from ..models.dae import DAE as _DAE
+    cfg = config
+    mss = L.MSSLoss2D(cfg.mss2d)
+    c = cfg.crop_edges
+
+    def warmup(step, n):
+        if n <= 0:
+            return jnp.float32(1.0)
+        return jnp.minimum(step / n, 1.0)
+
+    def decay(step, n):
+        if n <= 0:
+            return jnp.float32(0.0)
+        return jnp.maximum(1.0 - step / n, 0.0)
+
+    def loss_fn(params, stats, batch, key, global_step):
+        k_st, k_ph, k_drop = jax.random.split(key, 3)
+        audio = batch["audio"].astype(jnp.float32)
+        if cfg.random_stereo_augmentation:
+            audio = random_stereo_augmentation(k_st, audio)
+
+        emb_in = batch.get("audio_embeddings")
+        variables = {"params": params, "stats": stats}
+        if emb_in is not None:
+            dae_emb = dae_model.apply(variables, normalize(emb_in, axis=-1),
+                                      method=_DAE.get_embeddings)
+        else:
+            dae_emb = None
+
+        if cfg.domain == "mel":
+            samples = fmt.raw_to_mel_spec(audio)
+        else:  # mdct domain (m1 trainer)
+            samples = fmt.raw_to_mdct(audio, random_phase_augmentation=True,
+                                      key=k_ph)
+        samples = samples[:, :, c:-c] if c > 0 else samples
+        # align width to the DAE downsample ratio so decode shapes match
+        ds = dae_model.downsample_ratio
+        w_al = samples.shape[2] // ds * ds
+        samples = jax.lax.stop_gradient(samples[:, :, :w_al])
+
+        (latents, recon, pre_norm), new_vars = dae_model.apply(
+            variables, samples, dae_emb, training=True, mutable=["stats"])
+        latents = latents.astype(jnp.float32)
+        pre_norm = pre_norm.astype(jnp.float32)
+
+        # ---- reconstruction losses (per sample) ------------------------
+        # MSS2D operates (B, C, H, W): move channels first
+        s_cf = jnp.transpose(samples, (0, 3, 1, 2))
+        r_cf = jnp.transpose(recon.astype(jnp.float32), (0, 3, 1, 2))
+        if cfg.use_random_prime_mss:
+            recon_loss = L.random_prime_mss_2d(k_drop, r_cf, s_cf)
+        else:
+            recon_loss = mss(r_cf, s_cf)
+        point_loss = jnp.mean(jnp.abs(recon - samples), axis=(1, 2, 3))
+        pl_w = cfg.point_loss_weight * decay(global_step, cfg.point_loss_warmup_steps)
+        recon_loss = recon_loss + point_loss * pl_w
+
+        logvar = dae_model.apply(variables, method=_DAE.get_recon_loss_logvar)
+        recon_nll = recon_loss / jnp.exp(logvar) + logvar
+
+        # ---- latent regularizers ----------------------------------------
+        reg_w = warmup(global_step, cfg.latents_regularization_warmup_steps)
+        total = recon_nll.mean()
+        logs: Dict[str, Any] = {"loss_recon": recon_loss.mean(),
+                                "loss_point": point_loss.mean(),
+                                "recon_loss_logvar": logvar}
+
+        if cfg.phase_invariance_loss_weight > 0:
+            mdct2 = fmt.raw_to_mdct(audio, random_phase_augmentation=True,
+                                    key=jax.random.fold_in(k_ph, 7))
+            # re-encode from a different-phase view of the same audio;
+            # for the mel-domain trainer the second view goes through the
+            # mel spec of the phase-rotated audio
+            if cfg.domain == "mel":
+                alt = fmt.raw_to_mel_spec(fmt.mdct_to_raw(mdct2))
+            else:
+                alt = mdct2
+            alt = alt[:, :, c:-c] if c > 0 else alt
+            alt = jax.lax.stop_gradient(alt[:, :, :w_al])
+            latents2 = dae_model.apply(variables, alt, dae_emb,
+                                       method=_DAE.encode)
+            pi = L.phase_invariance_loss(latents, latents2.astype(jnp.float32)) / 2.0
+            total = total + pi.mean() * cfg.phase_invariance_loss_weight * reg_w
+            logs["loss_phase_invariance"] = pi.mean()
+
+        if cfg.latents_dispersion_loss_weight > 0:
+            disp = L.latents_dispersion_loss(latents)
+            total = total + disp.mean() * cfg.latents_dispersion_loss_weight * reg_w
+            logs["loss_dispersion"] = disp.mean()
+
+        # KL-to-unit-variance on pre-norm latents (reference :373-383)
+        var = jnp.mean(pre_norm ** 2, axis=(0, 1, 2)) + 1e-20
+        var_kl = var - 1.0 - jnp.log(var)
+        mean_sq = jnp.mean(pre_norm, axis=(0, 1, 2)) ** 2
+        kl = var_kl.mean() + mean_sq.mean() * cfg.kl_mean_weight
+        kl_w = cfg.kl_loss_weight * warmup(global_step, cfg.kl_warmup_steps)
+        total = total + kl * kl_w
+        logs["loss_kl"] = kl
+        logs["latents_var"] = latents.var()
+        logs["latents_mean"] = latents.mean()
+        return total, (logs, new_vars["stats"])
+
+    accum = cfg.grad_accum_steps
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        rng, step_key = jax.random.split(state.rng)
+        params = state.params["params"]
+        stats = state.params["stats"]
+        gstep = state.global_step.astype(jnp.float32)
+
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]), batch)
+        keys = jax.random.split(step_key, accum)
+
+        def body(carry, xs):
+            grads_acc, loss_acc, stats_c = carry
+            mb, k = xs
+            (loss, (logs, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, stats_c, mb, k, gstep)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss, new_stats), logs
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (grads, loss_sum, new_stats), logs_seq = jax.lax.scan(
+            body, (zero, 0.0, stats), (micro, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        loss = loss_sum / accum
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = normalize_mp_weights(params)
+        new_variables = {"params": params, "stats": new_stats}
+
+        samples_processed = state.total_samples_processed + total_batch_size
+        if ema_bank is not None:
+            ema_state, new_variables = ema_bank.update(
+                state.ema_state, new_variables, state.total_samples_processed,
+                total_batch_size, gstep)
+        else:
+            ema_state = state.ema_state
+
+        new_state = TrainState(
+            params=new_variables, opt_state=opt_state, ema_state=ema_state,
+            sigma_pdf=state.sigma_pdf, global_step=state.global_step + 1,
+            total_samples_processed=samples_processed, rng=rng)
+        logs = {k: v.mean() for k, v in logs_seq.items()}
+        logs["loss"] = loss
+        return new_state, logs
+
+    return train_step

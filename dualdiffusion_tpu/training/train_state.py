@@ -74,16 +74,23 @@ class UNetTrainConfig:
 def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
                          get_logvar: Callable, optimizer: optax.GradientTransformation,
                          ema_bank: Optional[EMABank], config: UNetTrainConfig,
-                         total_batch_size: int):
+                         total_batch_size: int,
+                         prepare_fn: Optional[Callable] = None):
     """Build the train step.
 
     unet_apply(params, x, sigma, embeddings, x_ref, key) -> D_x
     get_embeddings(params, emb_in, cond_mask) -> embeddings or None
     get_logvar(params, sigma) -> (B,1,1,1) logvar
+    prepare_fn(batch, key) -> batch with samples/ref_samples/embeddings —
+      gradient-free input preparation (e.g. the DDEC teacher pipeline,
+      reference: ddec_q4_trainer.py:94-131); runs inside the jitted step.
     """
     sampler = SigmaSampler(config.sigma)
 
     def loss_fn(params, batch, sigma, key):
+        if prepare_fn is not None:
+            key, k_prep = jax.random.split(key)
+            batch = jax.lax.stop_gradient(prepare_fn(batch, k_prep))
         samples = batch["samples"].astype(jnp.float32)
         if config.crop_edges > 0:
             c = config.crop_edges
@@ -159,7 +166,8 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
         accum = config.grad_accum_steps
         micro = jax.tree_util.tree_map(
             lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]), batch)
-        sigma_micro = global_sigma[: batch["samples"].shape[0]].reshape(accum, -1)
+        device_batch = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        sigma_micro = global_sigma[:device_batch].reshape(accum, -1)
         keys = jax.random.split(step_key, accum)
 
         def accum_body(carry, xs):
@@ -226,11 +234,19 @@ def _find_clip_stat(opt_state, name: str):
 
 def init_train_state(params, optimizer: optax.GradientTransformation,
                      ema_bank: Optional[EMABank], sigma_config: SigmaSamplerConfig,
-                     key: jax.Array) -> TrainState:
+                     key: jax.Array, trainable=None) -> TrainState:
+    """``params`` is the full variables pytree carried in the state;
+    ``trainable`` (default: params, or params['params'] when the tree has a
+    'params'/'stats' split) is the subtree the optimizer state covers."""
+    if trainable is None:
+        if isinstance(params, dict) and "params" in params and "stats" in params:
+            trainable = params["params"]
+        else:
+            trainable = params
     sampler = SigmaSampler(sigma_config)
     return TrainState(
         params=params,
-        opt_state=optimizer.init(params),
+        opt_state=optimizer.init(trainable),
         ema_state=ema_bank.init(params) if ema_bank is not None else {},
         sigma_pdf=sampler.init_pdf_state(),
         global_step=jnp.zeros((), jnp.int32),

