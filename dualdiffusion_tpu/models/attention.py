@@ -1,0 +1,104 @@
+"""Attention utilities: partial RoPE and sliding-window attention.
+
+Capability parity with the reference's attention helpers:
+
+  * partial pair-rotation RoPE with width-axis cos/sin tables
+    (reference: src/modules/rope.py:26-78) — rotates the first rope_ch
+    channels pairwise, leaves the tail unchanged; tables are host-side
+    float64 constants.
+  * sliding-window (optionally causal) attention
+    (reference: src/modules/sliding_attention.py:31-127). The reference
+    uses FlexAttention block masks; here a static banded mask feeds a
+    masked softmax — XLA maps it to fused attention; a Pallas splash
+    kernel can replace the inner product later without API change.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def build_rope_tables(length: int, rope_ch: int, base: float = 10000.0,
+                      scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables of shape (length, rope_ch//2), float32 host constants
+    (reference: rope.py:48-62)."""
+    assert rope_ch % 2 == 0, "rope_ch must be even"
+    if rope_ch == 0:
+        return (np.zeros((length, 0), np.float32),) * 2
+    inv_freq = 1.0 / (base ** (np.arange(0, rope_ch, 2, dtype=np.float64) / rope_ch))
+    pos = np.arange(length, dtype=np.float64) * scale
+    ang = np.outer(pos, inv_freq)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def rope_rotate_partial(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate the first 2*cos.shape[-1] channels of x pairwise
+    (reference: rope.py:26-46). x: (..., L, D); cos/sin broadcastable to
+    (..., L, rope_ch//2). Output layout groups rotated evens then odds then
+    the tail, matching the reference."""
+    rope_ch = cos.shape[-1] * 2
+    x_rot = x[..., :rope_ch]
+    x_tail = x[..., rope_ch:]
+    x_even = x_rot[..., 0::2]
+    x_odd = x_rot[..., 1::2]
+    r_even = x_even * cos - x_odd * sin
+    r_odd = x_odd * cos + x_even * sin
+    return jnp.concatenate([r_even, r_odd, x_tail], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window attention
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _band_mask(seq_len: int, window: int, causal: bool) -> np.ndarray:
+    q = np.arange(seq_len)[:, None]
+    k = np.arange(seq_len)[None, :]
+    if causal:
+        mask = (q >= k) & (q - k <= window)
+    else:
+        mask = np.abs(q - k) <= window
+    return mask
+
+
+def sliding_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             window_size: int, causal: bool = False,
+                             scale: Optional[float] = None) -> jnp.ndarray:
+    """Banded SDPA. q/k/v: (B, H, L, D) -> (B, H, L, D)."""
+    b, h, l, d = q.shape
+    scale = scale if scale is not None else 1.0 / np.sqrt(d)
+    mask = jnp.asarray(_band_mask(l, window_size, causal))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    logits = jnp.where(mask, logits, -jnp.inf)
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+def rope_self_test(n: int = 31, t0: Optional[int] = None, rope_ch: int = 2) -> bool:
+    """Same-sign RoPE sanity check (reference: rope.py:81-101): with Q
+    holding [1,0] only at t0 and K holding [1,0] everywhere (pre-rotation),
+    attention from t0 must peak at t0."""
+    t0 = t0 if t0 is not None else n // 4
+    d = n
+    cos, sin = build_rope_tables(n, rope_ch)
+    q = np.zeros((1, 1, n, d), np.float32)
+    q[0, 0, t0, 0] = 1.0
+    k = np.zeros((1, 1, n, d), np.float32)
+    k[:, :, :, 0] = 1.0
+    v = np.eye(n, d, dtype=np.float32)[None, None]
+    qr = rope_rotate_partial(jnp.asarray(q), jnp.asarray(cos), jnp.asarray(sin))
+    kr = rope_rotate_partial(jnp.asarray(k), jnp.asarray(cos), jnp.asarray(sin))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qr, kr) / np.sqrt(d)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, jnp.asarray(v))
+    peak = int(jnp.argmax(out[0, 0, t0]))
+    return peak == t0

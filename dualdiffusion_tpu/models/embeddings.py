@@ -1,0 +1,160 @@
+"""Conditioning embeddings: CLAP audio/text encoder + analysis helpers.
+
+Capability parity with the reference's embedding layer
+(reference: src/modules/embeddings/embedding.py:40-93 — abstract
+encode_audio/encode_text + PCA / cosine-similarity / dedup helpers — and
+src/modules/embeddings/clap.py:54-122 — TWO CLAP models whose normalized
+512-d embeddings are concatenated to 1024-d, audio chunked into 10 s 48 kHz
+windows).
+
+Environment note: CLAP checkpoints cannot be downloaded in a zero-egress
+environment, so the encoder is gated on locally available weights
+(``CLAP_MODEL_PATH``); training and sampling treat embeddings as
+precomputed dataset artifacts (SURVEY.md §7.4 mitigation), which matches
+the reference's own training path (load_datatypes=["latents",
+"audio_embeddings"]).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class CLAPConfig:
+    model_paths: Tuple[str, ...] = ("laion/larger_clap_music",)
+    sample_rate: int = 48000
+    audio_embedding_duration: float = 10.0   # seconds per chunk
+    embedding_dim: int = 512                 # per model
+
+
+# ---------------------------------------------------------------------------
+# analysis helpers (reference: embedding.py:40-93)
+# ---------------------------------------------------------------------------
+
+def top_pca_components(embeddings: np.ndarray, k: int = 8) -> np.ndarray:
+    """(N, D) -> (k, D) principal directions."""
+    x = embeddings - embeddings.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    return vt[:k]
+
+
+def cosine_similarity_matrix(a: np.ndarray, b: Optional[np.ndarray] = None) -> np.ndarray:
+    b = a if b is None else b
+    an = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
+    bn = b / (np.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
+    return an @ bn.T
+
+
+def dedupe_embeddings(embeddings: np.ndarray, threshold: float = 0.99,
+                      window: int = 1) -> np.ndarray:
+    """Indices of non-duplicate rows; ``window`` > 1 smooths each row with a
+    1D moving average over neighbors first (the reference's 1d-conv dedup
+    helper)."""
+    e = embeddings
+    if window > 1:
+        kernel = np.ones(window) / window
+        e = np.stack([np.convolve(row, kernel, mode="same") for row in e.T]).T
+    sim = cosine_similarity_matrix(e)
+    keep: List[int] = []
+    for i in range(len(e)):
+        if all(sim[i, j] < threshold for j in keep):
+            keep.append(i)
+    return np.asarray(keep, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# CLAP encoder (gated)
+# ---------------------------------------------------------------------------
+
+class CLAPEmbedding:
+    """Dual-CLAP encoder producing concatenated normalized embeddings."""
+
+    def __init__(self, config: Optional[CLAPConfig] = None) -> None:
+        self.config = config or CLAPConfig()
+        self._models = None
+
+    @property
+    def output_dim(self) -> int:
+        return self.config.embedding_dim * len(self.config.model_paths)
+
+    def _load(self):
+        if self._models is not None:
+            return
+        local_root = os.environ.get("CLAP_MODEL_PATH")
+        self._models = []
+        try:
+            from transformers import ClapModel, ClapProcessor
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(
+                "transformers is required for CLAP encoding") from e
+        for path in self.config.model_paths:
+            load_path = os.path.join(local_root, os.path.basename(path)) \
+                if local_root else path
+            # fail fast offline: only hit the network when explicitly allowed
+            local_only = os.environ.get("CLAP_ALLOW_DOWNLOAD", "0") != "1"
+            try:
+                model = ClapModel.from_pretrained(load_path,
+                                                  local_files_only=local_only)
+                proc = ClapProcessor.from_pretrained(load_path,
+                                                     local_files_only=local_only)
+            except Exception as e:
+                raise RuntimeError(
+                    f"CLAP weights unavailable at '{load_path}'. In an "
+                    "offline environment set CLAP_MODEL_PATH to a directory "
+                    "with the checkpoints, or rely on precomputed dataset "
+                    "embeddings (the default training path).") from e
+            model.eval()
+            self._models.append((model, proc))
+
+    def _chunk_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Mono-mix, resample to 48 kHz, split into duration-sized chunks
+        (reference: clap.py:83-110)."""
+        if audio.ndim == 2:
+            audio = audio.mean(axis=0)
+        if sample_rate != self.config.sample_rate:
+            # polyphase-free linear resample is adequate for CLAP features
+            n_out = int(round(len(audio) * self.config.sample_rate / sample_rate))
+            audio = np.interp(np.linspace(0, len(audio) - 1, n_out),
+                              np.arange(len(audio)), audio)
+        chunk = int(self.config.audio_embedding_duration * self.config.sample_rate)
+        n_chunks = max(1, int(np.ceil(len(audio) / chunk)))
+        pad = n_chunks * chunk - len(audio)
+        audio = np.pad(audio, (0, pad))
+        return audio.reshape(n_chunks, chunk).astype(np.float32)
+
+    def encode_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """(C, T) or (T,) audio -> (num_chunks, output_dim) embeddings."""
+        self._load()
+        import torch
+        chunks = self._chunk_audio(audio, sample_rate)
+        outs = []
+        for model, proc in self._models:
+            with torch.no_grad():
+                inputs = proc(audios=list(chunks),
+                              sampling_rate=self.config.sample_rate,
+                              return_tensors="pt")
+                feats = model.get_audio_features(**inputs).numpy()
+            feats = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+            outs.append(feats)
+        return np.concatenate(outs, axis=-1)
+
+    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+        """list[str] -> (N, output_dim) embeddings."""
+        self._load()
+        import torch
+        outs = []
+        for model, proc in self._models:
+            with torch.no_grad():
+                inputs = proc(text=list(texts), return_tensors="pt", padding=True)
+                feats = model.get_text_features(**inputs).numpy()
+            feats = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+            outs.append(feats)
+        return np.concatenate(outs, axis=-1)

@@ -260,6 +260,11 @@ class UNetCore(nn.Module):
             r = x_ref.reshape(b, cfg.in_num_freqs, per, w, c)
             r = jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(b, cfg.in_num_freqs, w, per * c)
             x = mp_cat(x, r.astype(dtype), axis=-1, t=cfg.label_balance)
+        elif x_ref is not None:
+            # inpainting / img2img reference channels concatenated as extra
+            # input channels (reference: dual_diffusion_pipeline.py:440-447 +
+            # convert_unet_to_inpainting zero-init extension)
+            x = jnp.concatenate([x, x_ref.astype(dtype)], axis=-1)
 
         # ---- embedding -----------------------------------------------------
         cemb = self._cemb()

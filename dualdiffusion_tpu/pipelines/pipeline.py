@@ -58,11 +58,15 @@ def get_module_class(name: str) -> Tuple[Callable, type]:
 def _register_builtins() -> None:
     from ..models.dae import DAE, DAEConfig
     from ..models.unet import UNet, UNetConfig
+    from ..models.vae import VAE, VAEConfig
+    from ..models.discriminator import Discriminator, DiscriminatorConfig
     from ..models import formats as _formats_pkg  # populate the registry
     from ..models.formats.format import _FORMAT_REGISTRY
     register_module("unet", lambda cfg: UNet(cfg), UNetConfig)
     register_module("ddec", lambda cfg: UNet(cfg), UNetConfig)
     register_module("dae", lambda cfg: DAE(cfg), DAEConfig)
+    register_module("vae", lambda cfg: VAE(cfg), VAEConfig)
+    register_module("disc", lambda cfg: Discriminator(cfg), DiscriminatorConfig)
     for fname, (cls, cfg_cls) in _FORMAT_REGISTRY.items():
         register_module(f"format:{fname}", (lambda c=cls: (lambda cfg: c(cfg)))(), cfg_cls)
 
