@@ -74,9 +74,13 @@ def main():
     ap.add_argument("--config_path", default="configs/models")
     ap.add_argument("--output_path", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                    help="init device; cpu avoids TPU compile for weight init")
     args = ap.parse_args()
 
     import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from dualdiffusion_tpu.pipelines import Pipeline, ModuleHandle, get_module_class
     from dualdiffusion_tpu.utils import MODELS_PATH, load_json, config_from_dict
 

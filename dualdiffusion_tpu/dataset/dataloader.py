@@ -81,7 +81,13 @@ class DualDiffusionDataset:
         if not rel:
             return None
         p = Path(rel)
-        return str(p if p.is_absolute() else Path(self.config.data_dir) / p)
+        if p.is_absolute():
+            return str(p)
+        joined = Path(self.config.data_dir) / p
+        if joined.exists():
+            return str(joined)
+        # records written with paths already rooted at/under the cwd
+        return str(p) if p.exists() else str(joined)
 
     def _is_valid(self, s: dict) -> bool:
         cfg = self.config
@@ -206,11 +212,14 @@ class DualDiffusionDataset:
             return
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         SENTINEL = object()
+        err: list = []
 
         def worker():
             try:
                 for b in gen():
                     q.put(b)
+            except BaseException as e:  # propagate to the consumer
+                err.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -219,6 +228,8 @@ class DualDiffusionDataset:
         while True:
             b = q.get()
             if b is SENTINEL:
+                if err:
+                    raise err[0]
                 break
             yield b
 

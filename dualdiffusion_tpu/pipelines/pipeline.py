@@ -277,7 +277,8 @@ class Pipeline:
                          audio_embedding: Optional[jnp.ndarray] = None,
                          x_ref: Optional[jnp.ndarray] = None,
                          module_name: str = "unet",
-                         init_sample: Optional[jnp.ndarray] = None):
+                         init_sample: Optional[jnp.ndarray] = None,
+                         chunk_size=None, chunk_callback=None):
         """Latent (or conditioned) EDM sampling with the named UNet module
         (reference: dual_diffusion_pipeline.py:589-752)."""
         from ..sampling import edm_sample

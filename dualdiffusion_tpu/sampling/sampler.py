@@ -120,7 +120,9 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                key: jax.Array,
                init_sample: Optional[jnp.ndarray] = None,
                return_debug: bool = True,
-               use_cfg: bool = True):
+               use_cfg: bool = True,
+               chunk_size: Optional[int] = None,
+               chunk_callback: Optional[Callable[[int, jnp.ndarray], bool]] = None):
     """Run the EDM sampler.
 
     denoise_fn(x_doubled, sigma_doubled) -> D_x doubled-batch output; the
@@ -130,6 +132,12 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
 
     sample_shape: (B, H, W, C) (latent or spectrogram space).
     Returns (sample, debug) where sample is normalized to sigma_data.
+
+    ``chunk_size``/``chunk_callback``: run the scan in host-visible chunks
+    of N steps; after each chunk ``chunk_callback(steps_done, sample)`` is
+    called — return True to abort (the reference's per-step preview/abort
+    channel, dual_diffusion_pipeline.py:540-546, at chunk granularity —
+    a single jitted scan cannot early-exit).
     """
     consts, sched = _per_step_constants(params, sigma_max, sigma_min, sigma_data)
     b = sample_shape[0]
@@ -197,7 +205,23 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
 
     xs = (consts["sigma_curr"], consts["sigma_next"], consts["t_lerp"],
           consts["sigma_hat"], consts["t_hat"], consts["readd"], consts["renorm"])
-    (sample, _), dbg = jax.lax.scan(step, (sample, key), xs)
+    if chunk_size is None or chunk_size >= params.steps:
+        (sample, _), dbg = jax.lax.scan(step, (sample, key), xs)
+    else:
+        run_chunk = jax.jit(lambda carry, xs_c: jax.lax.scan(step, carry, xs_c))
+        carry = (sample, key)
+        dbg_parts = []
+        done = 0
+        while done < params.steps:
+            n = min(chunk_size, params.steps - done)
+            xs_c = tuple(x[done:done + n] for x in xs)
+            carry, d = run_chunk(carry, xs_c)
+            dbg_parts.append(d)
+            done += n
+            if chunk_callback is not None and chunk_callback(done, carry[0]):
+                break
+        sample = carry[0]
+        dbg = jax.tree_util.tree_map(lambda *a: jnp.concatenate(a), *dbg_parts)
     sample = normalize(sample) * sigma_data
 
     debug = {"sigma_schedule": np.asarray(sched)}

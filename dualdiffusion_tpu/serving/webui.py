@@ -1,0 +1,297 @@
+"""Web UI for interactive generation.
+
+Capability parity with the reference's NiceGUI app
+(reference: src/sampling/nicegui_app.py:84-403 + nicegui_elements.py) —
+prompt editor with per-label weights, generation parameter editor, preset
+system, per-step latent preview with abort, generated-output list with
+audio players and spectrogram images, and a debug log tail — rebuilt as a
+dependency-free single-page app on ``http.server`` (NiceGUI is not
+available in this image). The UI talks to the isolated model-server
+process purely through its shared-dict command protocol (the same
+process-split architecture as the reference, nicegui_app.py:94-98).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("webui")
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>dualdiffusion-tpu</title><style>
+body{font-family:sans-serif;background:#15171c;color:#dde;margin:0;padding:1.2em;max-width:960px}
+h2{color:#8fd} fieldset{border:1px solid #334;margin:.6em 0;border-radius:6px}
+input,select{background:#232630;color:#dde;border:1px solid #445;border-radius:4px;padding:3px}
+button{background:#2a6;border:0;color:#fff;padding:.45em 1.1em;border-radius:5px;cursor:pointer;margin-right:.5em}
+button.warn{background:#a43}
+.out{border:1px solid #334;border-radius:6px;padding:.6em;margin:.5em 0}
+img.spec{width:100%;image-rendering:pixelated;border-radius:4px}
+#log{font-family:monospace;font-size:.8em;white-space:pre-wrap;background:#0c0e12;padding:.5em;max-height:12em;overflow-y:auto}
+.lbl{display:inline-block;margin:.2em .6em .2em 0}
+progress{width:100%}
+</style></head><body>
+<h2>dualdiffusion-tpu</h2>
+<fieldset><legend>Prompt</legend><div id="labels"></div>
+<input id="newlabel" placeholder="label"><input id="newweight" type="number" value="1.0" step="0.1" style="width:5em">
+<button onclick="addLabel()">add</button></fieldset>
+<fieldset><legend>Parameters</legend>
+steps <input id="steps" type="number" value="100" style="width:5em">
+cfg <input id="cfg" type="number" value="1.5" step="0.1" style="width:5em">
+seed <input id="seed" type="number" value="" placeholder="random" style="width:8em">
+fgla iters <input id="fgla" type="number" value="200" style="width:5em">
+<label><input id="heun" type="checkbox" checked> heun</label>
+<label><input id="loop" type="checkbox"> seamless loop</label>
+</fieldset>
+<fieldset><legend>Presets</legend>
+<select id="presets"></select>
+<button onclick="loadPreset()">load</button>
+<input id="presetname" placeholder="name"><button onclick="savePreset()">save</button></fieldset>
+<button onclick="generate()">Generate</button>
+<button class="warn" onclick="abortGen()">Abort</button>
+<div><progress id="prog" value="0" max="100"></progress><span id="status"></span></div>
+<img id="preview" class="spec" style="display:none">
+<div id="outputs"></div>
+<fieldset><legend>Debug log</legend><div id="log"></div></fieldset>
+<script>
+let labels = {};
+function renderLabels(){
+  const d = document.getElementById('labels'); d.innerHTML='';
+  for (const [k,v] of Object.entries(labels)){
+    d.innerHTML += `<span class="lbl">${k}: <input type="number" value="${v}" step="0.1"
+      style="width:4.5em" onchange="labels['${k}']=parseFloat(this.value)">
+      <button class="warn" onclick="delete labels['${k}'];renderLabels()">x</button></span>`;
+  }
+}
+function addLabel(){
+  const k=document.getElementById('newlabel').value;
+  if(k){labels[k]=parseFloat(document.getElementById('newweight').value);renderLabels();}
+}
+function params(){
+  return {steps:+document.getElementById('steps').value,
+    cfg_scale:+document.getElementById('cfg').value,
+    seed:document.getElementById('seed').value?+document.getElementById('seed').value:null,
+    num_fgla_iters:+document.getElementById('fgla').value,
+    use_heun:document.getElementById('heun').checked,
+    seamless_loop:document.getElementById('loop').checked, prompt:labels};
+}
+async function generate(){
+  await fetch('/api/generate',{method:'POST',body:JSON.stringify(params())});
+  poll();
+}
+async function abortGen(){ await fetch('/api/abort',{method:'POST'}); }
+async function poll(){
+  const r = await (await fetch('/api/status')).json();
+  document.getElementById('status').textContent = r.status;
+  document.getElementById('prog').value = r.progress*100;
+  if (r.preview){ const p=document.getElementById('preview');
+    p.src='/api/preview.png?t='+Date.now(); p.style.display='block'; }
+  if (r.busy) setTimeout(poll, 1000);
+  else { document.getElementById('preview').style.display='none'; refreshOutputs(); }
+  document.getElementById('log').textContent = r.log;
+}
+async function refreshOutputs(){
+  const outs = await (await fetch('/api/outputs')).json();
+  const d = document.getElementById('outputs'); d.innerHTML='';
+  outs.forEach(o=>{ d.innerHTML += `<div class="out">seed ${o.seed}
+    <audio controls src="/api/output/${o.id}/audio.wav"></audio>
+    <img class="spec" src="/api/output/${o.id}/spec.png"></div>`; });
+}
+async function refreshPresets(){
+  const ps = await (await fetch('/api/presets')).json();
+  const s = document.getElementById('presets'); s.innerHTML='';
+  ps.forEach(p=>{ s.innerHTML += `<option>${p}</option>`; });
+}
+async function loadPreset(){
+  const name = document.getElementById('presets').value;
+  const p = await (await fetch('/api/presets/'+name)).json();
+  labels = p.prompt||{}; renderLabels();
+  for (const k of ['steps','fgla']) if(p[k]!==undefined) document.getElementById(k).value=p[k];
+  if(p.cfg_scale!==undefined) document.getElementById('cfg').value=p.cfg_scale;
+}
+async function savePreset(){
+  const name = document.getElementById('presetname').value||'preset';
+  await fetch('/api/presets/'+name,{method:'POST',body:JSON.stringify(params())});
+  refreshPresets();
+}
+(async ()=>{
+  const info = await (await fetch('/api/info')).json();
+  (info.prompt_labels||[]).slice(0,0).forEach(l=>{});
+  refreshPresets(); refreshOutputs(); poll();
+})();
+</script></body></html>
+"""
+
+
+class UIState:
+    def __init__(self, server_state, presets_path: Path) -> None:
+        self.server_state = server_state
+        self.outputs: List[Dict[str, Any]] = []
+        self.presets_path = presets_path
+        self.log_lines: List[str] = []
+        self.busy = False
+        self.total_steps = 1
+
+    def log(self, msg: str) -> None:
+        self.log_lines.append(f"{time.strftime('%H:%M:%S')} {msg}")
+        self.log_lines = self.log_lines[-200:]
+
+
+def _make_handler(ui: UIState):
+    from ..utils import tensor_to_img
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, body: bytes, ctype: str = "application/json",
+                  code: int = 200) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code: int = 200) -> None:
+            self._send(json.dumps(obj).encode(), code=code)
+
+        def do_GET(self):
+            s = ui.server_state
+            if self.path == "/":
+                self._send(_PAGE.encode(), "text/html")
+            elif self.path == "/api/info":
+                self._json({"prompt_labels": s.get("prompt_labels", []),
+                            "modules": s.get("model_modules", [])})
+            elif self.path == "/api/status":
+                step = s.get("generate_step")
+                busy = ui.busy and step is not None
+                progress = (step or 0) / max(ui.total_steps, 1)
+                status = (f"step {step}/{ui.total_steps}" if busy else
+                          (s.get("error") or "idle"))
+                self._json({"busy": ui.busy, "progress": progress,
+                            "status": status,
+                            "preview": s.get("generate_latents") is not None,
+                            "log": "\n".join(ui.log_lines[-40:])})
+            elif self.path.startswith("/api/preview.png"):
+                lat = s.get("generate_latents")
+                if lat is None:
+                    self._json({"error": "no preview"}, 404)
+                    return
+                img = tensor_to_img(np.asarray(lat)[0].mean(axis=-1))
+                self._send(_png_bytes(img), "image/png")
+            elif self.path == "/api/outputs":
+                self._json([{"id": i, "seed": o["seed"]}
+                            for i, o in enumerate(ui.outputs)])
+            elif self.path.startswith("/api/output/"):
+                parts = self.path.strip("/").split("/")
+                idx = int(parts[2])
+                if idx >= len(ui.outputs):
+                    self._json({"error": "bad index"}, 404)
+                    return
+                o = ui.outputs[idx]
+                if parts[3].startswith("audio"):
+                    self._send(_wav_bytes(o["raw"][0], o["sample_rate"]),
+                               "audio/wav")
+                else:
+                    img = tensor_to_img(np.asarray(o["sample"])[0, :, :, 0])
+                    self._send(_png_bytes(img), "image/png")
+            elif self.path == "/api/presets":
+                self._json(sorted(p.stem for p in
+                                  ui.presets_path.glob("*.json")))
+            elif self.path.startswith("/api/presets/"):
+                name = self.path.rsplit("/", 1)[1]
+                p = ui.presets_path / f"{name}.json"
+                if p.is_file():
+                    self._send(p.read_bytes())
+                else:
+                    self._json({"error": "unknown preset"}, 404)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode() if length else "{}"
+            s = ui.server_state
+            if self.path == "/api/generate":
+                if ui.busy:
+                    self._json({"error": "busy"}, 409)
+                    return
+                sample_params = json.loads(body)
+                ui.total_steps = int(sample_params.get("steps", 100))
+                s["sample_params"] = sample_params
+                s["cmd"] = "generate"
+                ui.busy = True
+                ui.log(f"generate: {sample_params}")
+                threading.Thread(target=_wait_generate, args=(ui,),
+                                 daemon=True).start()
+                self._json({"ok": True})
+            elif self.path == "/api/abort":
+                s["generate_abort"] = True
+                ui.log("abort requested")
+                self._json({"ok": True})
+            elif self.path.startswith("/api/presets/"):
+                name = self.path.rsplit("/", 1)[1]
+                ui.presets_path.mkdir(parents=True, exist_ok=True)
+                (ui.presets_path / f"{name}.json").write_text(body)
+                ui.log(f"saved preset '{name}'")
+                self._json({"ok": True})
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def _wait_generate(ui: UIState) -> None:
+    s = ui.server_state
+    while s.get("cmd") is not None:
+        time.sleep(0.25)
+    out = s.get("generate_output")
+    err = s.get("error")
+    if err:
+        ui.log(err)
+    if out is not None:
+        ui.outputs.insert(0, out)
+        ui.log(f"generated output (seed {out['seed']})")
+    ui.busy = False
+
+
+def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    from scipy.io import wavfile
+    buf = io.BytesIO()
+    pcm = (np.clip(np.asarray(audio).T, -1, 1) * 32767).astype(np.int16)
+    wavfile.write(buf, sample_rate, pcm)
+    return buf.getvalue()
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def run_app(model_path: str, host: str = "127.0.0.1", port: int = 8080,
+            state=None) -> None:
+    """Launch the model-server process + the web UI (blocking)."""
+    from .model_server import launch
+    if state is None:
+        proc, state = launch(model_path)
+    ui = UIState(state, Path(model_path) / "presets")
+    # wait for model load
+    t0 = time.time()
+    while state.get("cmd") is not None and time.time() - t0 < 600:
+        time.sleep(0.25)
+    if state.get("error"):
+        logger.error("model load failed: %s", state["error"])
+    httpd = ThreadingHTTPServer((host, port), _make_handler(ui))
+    logger.info("web ui at http://%s:%d", host, port)
+    print(f"web ui at http://{host}:{port}", flush=True)
+    httpd.serve_forever()

@@ -5,7 +5,7 @@ from .ema import (EMABank, EMAConfig, power_function_beta, std_to_exp,
 from .optim import (build_optimizer, dynamic_grad_clip, lr_schedule, muon,
                     normalize_mp_weights)
 from .train_state import (TrainState, UNetTrainConfig, make_unet_train_step,
-                          init_train_state)
+                          make_unet_eval_step, init_train_state)
 from . import losses
 from .module_trainers import (DDECTrainConfig, DAETrainConfig,
                               make_ddec_train_step, make_dae_train_step,

@@ -90,7 +90,11 @@ def build_unet_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
     state = init_train_state(variables, opt, bank, cfg.sigma, key)
 
     def batch_adapter(batch):
-        return {"samples": jnp.asarray(batch["latents"]),
+        # dataset latents are stored reference-layout (B, C, H, W);
+        # models are channel-last (B, H, W, C)
+        lat = jnp.transpose(jnp.asarray(batch["latents"], jnp.float32),
+                            (0, 2, 3, 1))
+        return {"samples": lat,
                 **({"embeddings": jnp.asarray(batch["audio_embeddings"])}
                    if "audio_embeddings" in batch else {})}
 

@@ -217,6 +217,42 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
     return train_step
 
 
+def make_unet_eval_step(unet_apply: Callable, get_embeddings: Callable,
+                        config: UNetTrainConfig,
+                        prepare_fn: Optional[Callable] = None):
+    """Validation step: EDM2-weighted loss with static stratified sigmas and
+    no conditioning dropout (reference: unet_trainer.py is_validation_batch
+    path — weighted loss without the NLL logvar term)."""
+    import dataclasses as _dc
+    sigma_cfg = _dc.replace(config.sigma, use_static_sigma_sampling=True)
+    sampler = SigmaSampler(sigma_cfg)
+
+    def eval_step(params, batch, key):
+        if prepare_fn is not None:
+            key, k_prep = jax.random.split(key)
+            batch = jax.lax.stop_gradient(prepare_fn(batch, k_prep))
+        samples = batch["samples"].astype(jnp.float32)
+        if config.crop_edges > 0:
+            c = config.crop_edges
+            samples = samples[..., c:-c, :]
+        b = samples.shape[0]
+        emb_in = batch.get("embeddings")
+        embeddings = None
+        if emb_in is not None:
+            embeddings = get_embeddings(params, emb_in, jnp.ones((b,)))
+        k_noise, k_drop = jax.random.split(key)
+        sigma = sampler.sample(jax.random.fold_in(key, 1), b)
+        sig = sigma.reshape((-1,) + (1,) * (samples.ndim - 1))
+        noise = jax.random.normal(k_noise, samples.shape) * sig
+        denoised = unet_apply(params, samples + noise, sigma, embeddings,
+                              batch.get("ref_samples"), k_drop)
+        sd = config.sigma.sigma_data
+        weight = (sig ** 2 + sd ** 2) / (sig * sd) ** 2
+        return (((denoised - samples) ** 2) * weight).mean()
+
+    return jax.jit(eval_step)
+
+
 def _find_clip_stat(opt_state, name: str):
     from .optim import DynamicClipState
     found = [jnp.zeros(())]

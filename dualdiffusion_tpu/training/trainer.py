@@ -111,6 +111,13 @@ class TrainerConfig:
     min_checkpoint_time: int = 3600
     checkpoints_total_limit: int = 1
     enable_debug_mode: bool = False
+    # §5.2: the jax-native analog of torch anomaly detection
+    # (reference: trainer.py:330-332) — recompiles with NaN checks
+    enable_anomaly_detection: bool = False
+    # §5.1: capture a jax.profiler trace for steps [start, stop)
+    # (replaces the reference's nvidia-smi polling, trainer.py:1093-1102)
+    profile_steps: Optional[tuple] = None
+    profile_dir: Optional[str] = None
 
     lr_schedule: LRScheduleConfig = field(default_factory=LRScheduleConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
@@ -166,12 +173,18 @@ class Trainer:
                  ema_bank: Optional[EMABank] = None,
                  validation_dataloader: Optional[Iterable] = None,
                  export_module_fn: Optional[Callable] = None,
+                 eval_step: Optional[Callable] = None,
                  mesh=None):
         """
         train_step(state, batch) -> (state, logs) — jitted pure step.
         export_module_fn(path, variables) — writes the module in pipeline
           (model-dir) format into a checkpoint dir.
+        eval_step(params, batch, key) -> scalar loss — enables the
+          validation loop over train weights + every EMA profile
+          (reference: trainer.py validation epochs + ema
+          include_in_validation).
         """
+        self.eval_step = eval_step
         self.config = config
         self.train_step = train_step
         self.state = init_state
@@ -185,6 +198,28 @@ class Trainer:
         self.last_checkpoint_time = time.time()
         self.total_train_hours = 0.0
         self.epoch = 0
+        self._profiling = False
+        if config.enable_anomaly_detection:
+            jax.config.update("jax_debug_nans", True)
+            logger.info("anomaly detection enabled (jax_debug_nans)")
+
+    def _maybe_profile(self, step: int) -> None:
+        """jax.profiler trace capture over a configured step window."""
+        cfg = self.config
+        if cfg.profile_steps is None:
+            return
+        start, stop = cfg.profile_steps
+        if step == start and not self._profiling:
+            d = cfg.profile_dir or os.path.join(cfg.model_path or ".",
+                                                "profiles")
+            os.makedirs(d, exist_ok=True)
+            jax.profiler.start_trace(d)
+            self._profiling = True
+            logger.info("profiler trace started -> %s", d)
+        elif step >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("profiler trace stopped")
 
     # ---- observability ----------------------------------------------------
     def _make_writer(self):
@@ -324,6 +359,7 @@ class Trainer:
             for batch in self.dataloader:
                 t0 = time.time()
                 paths = batch.pop("paths", None)
+                self._maybe_profile(int(self.state.global_step))
                 self.state, logs = self.train_step(self.state, batch)
                 step = int(self.state.global_step)
                 loss = float(logs["loss"])
@@ -367,6 +403,10 @@ class Trainer:
                     return self.state
 
             self.epoch += 1
+            if (self.eval_step is not None
+                    and self.validation_dataloader is not None
+                    and self.epoch % max(self.config.num_validation_epochs, 1) == 0):
+                self.validate()
             if self.ema_bank is not None:
                 new_params, switched = self.ema_bank.maybe_switch(
                     self.state.ema_state, self.state.params, self.epoch,
@@ -380,6 +420,35 @@ class Trainer:
                     time.time() - self.last_checkpoint_time > cfg.min_checkpoint_time:
                 self.save_checkpoint()
         return self.state
+
+    def validate(self) -> Dict[str, float]:
+        """Validation loss for the train weights and every EMA profile
+        marked include_in_validation (reference: ema.py get_validation_emas
+        + the trainer's validation epochs)."""
+        import jax as _jax
+        candidates = {"train": self.state.params}
+        if self.ema_bank is not None:
+            for name in self.ema_bank.validation_emas():
+                candidates[f"ema_{name}"] = jax.tree_util.tree_map(
+                    lambda e: e.astype(jnp.float32),
+                    self.state.ema_state[name])
+        results: Dict[str, float] = {}
+        key = _jax.random.PRNGKey(0)  # fixed key: comparable across epochs
+        for name, params in candidates.items():
+            losses = []
+            for i, batch in enumerate(self.validation_dataloader):
+                batch = dict(batch)
+                batch.pop("paths", None)
+                losses.append(float(self.eval_step(params, batch,
+                                                   _jax.random.fold_in(key, i))))
+            if losses:
+                results[name] = float(np.mean(losses))
+        step = int(self.state.global_step)
+        scalars = {f"loss_validation/{k}": v for k, v in results.items()}
+        self._log_scalars(scalars, step)
+        logger.info("validation @ step %d: %s", step,
+                    {k: round(v, 4) for k, v in results.items()})
+        return results
 
     def _record_sample_losses(self, paths, logs) -> None:
         per_sample = logs.get("loss_weighted")

@@ -1,0 +1,127 @@
+import json
+import numpy as np
+import pytest
+from pathlib import Path
+
+from dualdiffusion_tpu.dataset import (DatasetConfig, DualDiffusionDataset,
+                                       DatasetProcessor, DatasetProcessorConfig,
+                                       DatasetProcessStage)
+from dualdiffusion_tpu.dataset.processes import (NormalizeStage,
+                                                 IntegrityCheckStage,
+                                                 BuildSplitsStage,
+                                                 read_sidecar, write_sidecar)
+from dualdiffusion_tpu.utils import save_audio, save_safetensors
+
+
+@pytest.fixture
+def audio_dataset(tmp_path, rng):
+    sr = 32000
+    records = []
+    for i in range(4):
+        t = np.arange(sr) / sr
+        sig = (0.2 * np.sin(2 * np.pi * (220 + 110 * i) * t)).astype(np.float32)
+        audio = np.stack([sig, sig * 0.8])
+        p = tmp_path / f"s{i}.wav"
+        save_audio(audio, sr, p)
+        records.append(str(p))
+    return tmp_path, records
+
+
+def test_processor_pipeline(audio_dataset):
+    root, files = audio_dataset
+    cfg = DatasetProcessorConfig(dataset_path=str(root), max_num_proc=2,
+                                 monitor_interval=60.0)
+    proc = DatasetProcessor(cfg)
+    out = proc.process("IntegrityCheck", [IntegrityCheckStage()],
+                       input=[str(root)], input_extensions=(".wav",))
+    assert out["processed"] == 4
+    assert out["errors"] == 0
+
+
+def test_processor_error_capture(audio_dataset):
+    root, files = audio_dataset
+    (root / "bad.wav").write_bytes(b"not a wav file")
+    cfg = DatasetProcessorConfig(dataset_path=str(root), monitor_interval=60.0)
+    out = DatasetProcessor(cfg).process(
+        "IntegrityCheck", [IntegrityCheckStage()],
+        input=[str(root)], input_extensions=(".wav",))
+    assert out["errors"] >= 1
+    # "processed" counts items consumed by the final stage (incl. the bad
+    # one, whose error was captured rather than crashing the worker)
+    assert out["processed"] == 5
+
+
+def test_normalize_stage_and_sidecar(audio_dataset):
+    root, files = audio_dataset
+    cfg = DatasetProcessorConfig(dataset_path=str(root), monitor_interval=60.0)
+    out = DatasetProcessor(cfg).process(
+        "Normalize", [NormalizeStage(target_lufs=-20.0)],
+        input=[str(root)], input_extensions=(".wav",))
+    assert out["errors"] == 0
+    meta = read_sidecar(files[0])
+    assert meta["post_norm_lufs"] == -20.0
+    from dualdiffusion_tpu.utils import load_audio, get_audio_loudness
+    audio, sr = load_audio(files[0], return_sample_rate=True)
+    assert abs(get_audio_loudness(audio, sr) - (-20.0)) < 0.7
+
+
+def test_build_splits_collect(audio_dataset):
+    root, files = audio_dataset
+    for f in files:
+        write_sidecar(f, {"post_norm_lufs": -20.0})
+    cfg = DatasetProcessorConfig(dataset_path=str(root), monitor_interval=60.0)
+    out = DatasetProcessor(cfg).process(
+        "BuildSplits", [BuildSplitsStage()],
+        input=[str(root)], input_extensions=(".wav",), collect_results=True)
+    assert len(out["results"]) == 4
+    BuildSplitsStage.write_jsonl(out["results"], str(root),
+                                 validation_fraction=0.25)
+    train = (root / "train.jsonl").read_text().strip().splitlines()
+    val = (root / "validation.jsonl").read_text().strip().splitlines()
+    assert len(train) == 3 and len(val) == 1
+
+
+def test_dataloader_with_latents(tmp_path, rng):
+    # build a dataset with latents + embeddings safetensors
+    lat_dir = tmp_path / "latents"
+    lat_dir.mkdir()
+    recs = []
+    for i in range(3):
+        lat = rng.standard_normal((2, 4, 8, 32)).astype(np.float16)  # (V,C,H,W)
+        emb = rng.standard_normal((5, 16)).astype(np.float32)
+        p = lat_dir / f"x{i}.safetensors"
+        save_safetensors({"latents": lat, "clap_audio_embeddings": emb}, p)
+        recs.append({"file_name": f"x{i}.wav", "sample_rate": 32000,
+                     "sample_length": 999999, "post_norm_lufs": -20.0,
+                     "latents_file_name": str(p), "latents_length": 32,
+                     "latents_num_variations": 2,
+                     "latents_has_audio_embeddings": True,
+                     "latents_has_text_embeddings": False})
+    (tmp_path / "train.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs))
+    ds = DualDiffusionDataset(DatasetConfig(
+        data_dir=str(tmp_path), load_datatypes=("latents", "audio_embeddings"),
+        latents_crop_width=16))
+    assert len(ds) == 3
+    batches = list(ds.iter_batches("train", batch_size=2, seed=0, prefetch=0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["latents"].shape == (2, 4, 8, 16)  # (B, C, H, W_crop)
+    assert b["audio_embeddings"].shape == (2, 16)
+    assert len(b["paths"]) == 2
+    # embeddings unit-normalized
+    np.testing.assert_allclose(np.linalg.norm(b["audio_embeddings"], axis=-1),
+                               1.0, rtol=1e-4)
+
+
+def test_dataloader_filters_invalid(tmp_path):
+    recs = [{"file_name": "a.wav", "sample_rate": 32000, "sample_length": 100,
+             "post_norm_lufs": -20.0, "latents_file_name": None,
+             "latents_length": None, "latents_num_variations": None,
+             "latents_has_audio_embeddings": False,
+             "latents_has_text_embeddings": False}]
+    (tmp_path / "train.jsonl").write_text(json.dumps(recs[0]))
+    ds = DualDiffusionDataset(DatasetConfig(
+        data_dir=str(tmp_path), load_datatypes=("latents",)))
+    assert len(ds) == 0
+    assert ds.num_filtered_samples["train"] == 1

@@ -150,3 +150,65 @@ def test_embedding_helpers(rng):
     dup = np.concatenate([e, e[:4] + 1e-6], axis=0)
     keep = dedupe_embeddings(dup, threshold=0.999)
     assert len(keep) == 32
+
+
+def test_mel_cascade_roundtrip(rng):
+    from dualdiffusion_tpu.models.mel_cascade import MelCascade
+    # smooth signal (white noise is irrecoverable after downsampling)
+    h, w = 256, 50
+    grid = np.linspace(0, 10, h)[None, None, :, None]
+    t = np.linspace(0, 5, w)[None, None, None, :]
+    x = jnp.asarray(np.abs(np.sin(grid * t)).astype(np.float32))
+    mc = MelCascade(num_bins=h, num_stages=3)
+    y = mc(x)
+    assert y.shape == (1, 1, 32, 50)
+    recon = mc.inverse_transform(y)
+    assert recon.shape == x.shape
+    # 256->32 bins is inherently lossy; the reference's own self-test only
+    # prints this MSE (mel_cascade.py __main__), it doesn't bound it
+    rel = float(jnp.mean((recon - x) ** 2) / jnp.mean(x ** 2))
+    assert rel < 0.15, rel
+    # single-stage forward/inverse is near exact on its own range
+    y0 = mc(x, stage=0)
+    x0 = mc.inverse_transform(y0, stage=0)
+    assert x0.shape == x.shape
+
+
+def test_mdct_psd_format(rng):
+    from dualdiffusion_tpu.models.formats.mdct_psd import (MDCTPSDFormat,
+                                                           MDCTPSDFormatConfig)
+    fmt = MDCTPSDFormat(MDCTPSDFormatConfig())
+    sr = 32000
+    t = np.arange(sr) / sr
+    sig = sum(0.2 * np.sin(2 * np.pi * f * t) for f in (110.0, 440.0))
+    audio = jnp.asarray(np.stack([sig, sig * 0.7]).astype(np.float32)[None])
+    m = fmt.raw_to_mdct(audio)
+    psd = fmt.raw_to_mdct_psd(audio)
+    assert m.shape == psd.shape and m.shape[1] == 256
+    # roundtrip (the 20 Hz high-pass removes nothing from this signal)
+    recon = fmt.mdct_to_raw(m)
+    n = min(recon.shape[-1], audio.shape[-1])
+    # the 20-28.9 Hz FFT-domain high-pass adds small edge ripple
+    err = np.abs(np.asarray(recon[..., 256:n-256])
+                 - np.asarray(audio[..., 256:n-256]))
+    assert err.max() < 5e-2 and err.mean() < 2e-3
+    # psd scaling roundtrip
+    scaled = fmt.scale_mdct_from_psd(m, psd)
+    back = fmt.unscale_mdct_from_psd(scaled, psd)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(m), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_p2m_roundtrip(rng):
+    from dualdiffusion_tpu.models.formats.mdct_psd import (MDCTPSDFormat,
+                                                           MDCTPSDFormatConfig)
+    fmt = MDCTPSDFormat(MDCTPSDFormatConfig(p2m_use_midside_transform=True))
+    m = jnp.asarray(rng.standard_normal((1, 256, 64, 2)).astype(np.float32))
+    p2m = fmt.mdct_to_p2m(m)
+    assert p2m.shape[-1] == 2 * fmt.config.p2m_num_frequencies
+    back = fmt.p2m_to_mdct(p2m)
+    # lapped 2D transform with sin window reconstructs (interior)
+    a = np.asarray(m)[:, 16:-16, 4:-4]
+    b = np.asarray(back)[:, 16:240, 4:back.shape[2]-4]
+    n_h = min(a.shape[1], b.shape[1]); n_w = min(a.shape[2], b.shape[2])
+    np.testing.assert_allclose(b[:, :n_h, :n_w], a[:, :n_h, :n_w], atol=1e-3)

@@ -268,3 +268,41 @@ def test_train_step_8device_mesh(key):
     # params remain replicated
     leaf = jax.tree_util.tree_leaves(state1.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_unet_eval_step_and_validation(key):
+    from dualdiffusion_tpu.training import make_unet_eval_step
+    from dualdiffusion_tpu.training.trainer import Trainer, TrainerConfig
+    step, state = _build(key, grad_accum=1, total_batch=4)
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=8,
+                     model_channels=8, channel_mult=(1, 2),
+                     num_layers_per_block=1, channels_per_head=8,
+                     logvar_channels=16)
+    model = UNet(cfg)
+
+    def unet_apply(p, x, sigma, emb, ref, k):
+        return model.apply(p, x, sigma, emb)
+
+    def get_emb(p, emb_in, mask):
+        return model.apply(p, emb_in, mask, method=UNet.get_embeddings)
+
+    tc = UNetTrainConfig(sigma=SigmaSamplerConfig(distribution="ln_sech"))
+    eval_step = make_unet_eval_step(unet_apply, get_emb, tc)
+    batch = {"samples": jax.random.normal(key, (4, 8, 16, 4)),
+             "embeddings": jax.random.normal(key, (4, 8))}
+    l1 = float(eval_step(state.params, batch, jax.random.PRNGKey(0)))
+    l2 = float(eval_step(state.params, batch, jax.random.PRNGKey(0)))
+    assert np.isfinite(l1) and l1 == l2  # deterministic given key
+
+    # validation loop over train weights + EMA profiles
+    tconf = TrainerConfig(model_path="", num_validation_epochs=1)
+    trainer = Trainer(tconf, jax.jit(step), state, [],
+                      ema_bank=_build_bank(), eval_step=eval_step,
+                      validation_dataloader=[batch])
+    results = trainer.validate()
+    assert "train" in results and "ema_std0.05" in results
+    assert all(np.isfinite(v) for v in results.values())
+
+
+def _build_bank():
+    return EMABank([EMAConfig(name="std0.05", std=0.05)])
