@@ -1,2 +1,3 @@
 from .mesh import (make_mesh, batch_sharding, replicated_sharding,
                    shard_batch, MeshConfig)
+from .sharded_ops import sharded_tiled_encode, sharded_tiled_decode
