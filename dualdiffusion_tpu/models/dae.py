@@ -53,6 +53,9 @@ class DAEConfig:
     add_pixel_norm: bool = False
     latent_stats_momentum: float = 0.99
     supersampled: bool = False   # d3-series shift-equivariant encoder
+    # compute dtype for conv activations (fp32 io; the reference trains
+    # bf16 via torch autocast, trainer.py:336-338)
+    compute_dtype: str = "bfloat16"
 
 
 class DAEBlock(nn.Module):
@@ -191,10 +194,11 @@ class DAE(nn.Module):
     # ---- core ---------------------------------------------------------------
     def encode(self, x: jnp.ndarray, embeddings: Optional[jnp.ndarray] = None,
                training: bool = False) -> jnp.ndarray:
+        x = x.astype(jnp.dtype(self.cfg.compute_dtype))
         x = self.conv_in(x, training=training)
         for block in self.enc:
             x = block(x, embeddings, training=training)
-        latents = self.conv_latents_out(x, training=training)
+        latents = self.conv_latents_out(x, training=training).astype(jnp.float32)
         if self.cfg.supersampled and self.downsample_ratio > 1:
             # supersampled-latent: pool AFTER projection (dae_edm2_d3.py:349)
             ds = self.downsample_ratio
@@ -224,10 +228,12 @@ class DAE(nn.Module):
 
     def decode(self, latents: jnp.ndarray, embeddings: Optional[jnp.ndarray] = None,
                training: bool = False) -> jnp.ndarray:
-        x = self.conv_latents_in(latents, training=training)
+        x = latents.astype(jnp.dtype(self.cfg.compute_dtype))
+        x = self.conv_latents_in(x, training=training)
         for block in self.dec:
             x = block(x, embeddings, training=training)
-        return self.conv_out(x, gain=self.out_gain, training=training)
+        out = self.conv_out(x, gain=self.out_gain, training=training)
+        return out.astype(jnp.float32)
 
     def __call__(self, samples: jnp.ndarray,
                  embeddings: Optional[jnp.ndarray] = None,

@@ -30,11 +30,25 @@ _DEFAULT_BACKEND = "auto"
 # in the matmul backend (cost N*(N1+N2) instead of N^2)
 _FACTORIZE_MIN_N = 1024
 
+# MXU precision for the matmul-DFT stages:
+#   "highest" = f32 (6-pass bf16 emulation on TPU, exact)
+#   "high"    = bf16_3x (~3-pass, ~f32-quality for these magnitudes)
+#   "default" = single-pass bf16 (fastest; fine for iterative FGLA phases)
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def set_default_backend(backend: str) -> None:
     global _DEFAULT_BACKEND
     assert backend in ("auto", "fft", "matmul")
     _DEFAULT_BACKEND = backend
+
+
+def set_matmul_precision(name: str) -> None:
+    """Set the MXU precision used by the matmul-DFT backend."""
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
+                         "high": jax.lax.Precision.HIGH,
+                         "default": jax.lax.Precision.DEFAULT}[name]
 
 
 def _resolve(backend: Optional[str]) -> str:
@@ -102,9 +116,10 @@ def _ct_bases(n: int):
         (tw.real.astype(np.float32), tw.imag.astype(np.float32))
 
 
-def _cmatmul(ar, ai, br, bi, prec=jax.lax.Precision.HIGHEST):
+def _cmatmul(ar, ai, br, bi, prec=None):
     """(ar + i ai) @ (br + i bi) as four real MXU matmuls (3-mult Karatsuba
     is slower on MXU than 4 plain matmuls due to extra adds)."""
+    prec = prec or _MATMUL_PRECISION
     rr = jnp.matmul(ar, br, precision=prec) - jnp.matmul(ai, bi, precision=prec)
     ri = jnp.matmul(ar, bi, precision=prec) + jnp.matmul(ai, br, precision=prec)
     return rr, ri
@@ -118,7 +133,7 @@ def _fft_ct(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
     """
     n1, n2, (f1r, f1i), (f2r, f2i), (twr, twi) = _ct_bases(n)
     lead = xr.shape[:-1]
-    prec = jax.lax.Precision.HIGHEST
+    prec = _MATMUL_PRECISION
     ar = xr.reshape(lead + (n1, n2)).astype(jnp.float32)
     ai = xi.reshape(lead + (n1, n2)).astype(jnp.float32) if xi is not None else None
     # stage 1: DFT over t1 (contract axis -2 with f1): y[k1, t2]
@@ -139,27 +154,85 @@ def _fft_ct(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
     return full_r, full_i
 
 
+@functools.lru_cache(maxsize=16)
+def _pack_twiddles(n: int):
+    """e^{-2 pi i k / n} for k = 0..n/2 (forward) and its conjugate."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * k / n
+    return (np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32))
+
+
 def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    full_r, full_i = _fft_ct(x, None, n)
-    bins = n // 2 + 1
-    return jax.lax.complex(full_r[..., :bins], full_i[..., :bins])
+    """Packed real FFT: one half-size complex CT transform + O(n) combine.
+
+    z[m] = x[2m] + i x[2m+1]; X built from Z and its reversal — half the
+    matmul data movement of a full-size transform and no hermitian pass.
+    """
+    m = n // 2
+    if m % 2 != 0 or _best_factorization(m) is None or _best_factorization(m)[0] == 1:
+        full_r, full_i = _fft_ct(x, None, n)
+        bins = n // 2 + 1
+        return jax.lax.complex(full_r[..., :bins], full_i[..., :bins])
+    lead = x.shape[:-1]
+    xe = x[..., 0::2].astype(jnp.float32)
+    xo = x[..., 1::2].astype(jnp.float32)
+    zr, zi = _fft_ct(xe, xo, m)
+    # Z[(M-k) mod M]: index 0 stays, rest reversed
+    zr_rev = jnp.concatenate([zr[..., :1], jnp.flip(zr[..., 1:], -1)], axis=-1)
+    zi_rev = jnp.concatenate([zi[..., :1], jnp.flip(zi[..., 1:], -1)], axis=-1)
+    # extend to k = 0..M (bins) with Z[M] = Z[0]
+    zr_e = jnp.concatenate([zr, zr[..., :1]], axis=-1)
+    zi_e = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    zr_r = jnp.concatenate([zr_rev, zr_rev[..., :1]], axis=-1)
+    zi_r = jnp.concatenate([zi_rev, zi_rev[..., :1]], axis=-1)
+    # Xe = (Z + conj(Zrev))/2 ; Xo = (Z - conj(Zrev))/(2i)
+    xe_r = 0.5 * (zr_e + zr_r)
+    xe_i = 0.5 * (zi_e - zi_r)
+    xo_r = 0.5 * (zi_e + zi_r)
+    xo_i = -0.5 * (zr_e - zr_r)
+    twr, twi = _pack_twiddles(n)
+    out_r = xe_r + xo_r * twr - xo_i * twi
+    out_i = xe_i + xo_r * twi + xo_i * twr
+    return jax.lax.complex(out_r, out_i)
 
 
 def _irfft_matmul_ct(spec: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Factorized inverse rfft: hermitian-extend the onesided spectrum, then
-    ifft(X) = conj(fft(conj(X)))/n via the same CT matmul stages."""
+    """Packed inverse real FFT: O(n) combine + one half-size complex inverse
+    CT transform (even/odd interleave), avoiding the hermitian extension and
+    a full-size transform entirely."""
+    m = n // 2
     bins = n // 2 + 1
     sr = jnp.real(spec)[..., :bins].astype(jnp.float32)
     si = jnp.imag(spec)[..., :bins].astype(jnp.float32)
-    # hermitian extension: X[n-k] = conj(X[k]) for k = 1..n-bins
-    ext_r = jnp.flip(sr[..., 1: n - bins + 1], axis=-1)
-    ext_i = -jnp.flip(si[..., 1: n - bins + 1], axis=-1)
-    fr = jnp.concatenate([sr, ext_r], axis=-1)
-    fi = jnp.concatenate([si, ext_i], axis=-1)
-    # ifft via conj-fft-conj
-    yr, yi = _fft_ct(fr, -fi, n)
-    del yi  # output of an inverse of a hermitian spectrum is real
-    return yr / n
+    if m % 2 != 0 or _best_factorization(m) is None or _best_factorization(m)[0] == 1:
+        ext_r = jnp.flip(sr[..., 1: n - bins + 1], axis=-1)
+        ext_i = -jnp.flip(si[..., 1: n - bins + 1], axis=-1)
+        fr = jnp.concatenate([sr, ext_r], axis=-1)
+        fi = jnp.concatenate([si, ext_i], axis=-1)
+        yr, _ = _fft_ct(fr, -fi, n)
+        return yr / n
+    # irfft semantics: the DC and Nyquist bins are treated as real
+    si = si.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    # Xe[k] = (X[k] + conj(X[M-k]))/2 ; Xo[k] = (X[k]-conj(X[M-k]))*tw+ / 2
+    xr_rev = jnp.flip(sr, axis=-1)   # X[M-k], k = 0..M
+    xi_rev = jnp.flip(si, axis=-1)
+    xe_r = 0.5 * (sr + xr_rev)
+    xe_i = 0.5 * (si - xi_rev)
+    dr = 0.5 * (sr - xr_rev)
+    di = 0.5 * (si + xi_rev)
+    twr, twi = _pack_twiddles(n)     # e^{-i ang}; conj -> (twr, -twi)
+    xo_r = dr * twr + di * twi       # (dr + i di) * e^{+i ang} real part
+    xo_i = di * twr - dr * twi
+    # Z[k] = Xe[k] + i Xo[k], k = 0..M-1
+    zr = (xe_r - xo_i)[..., :m]
+    zi = (xe_i + xo_r)[..., :m]
+    # z = IDFT_M(Z) = conj(DFT_M(conj(Z))) / M
+    yr, yi = _fft_ct(zr, -zi, m)
+    zr_t = yr / m
+    zi_t = -yi / m
+    # interleave: x[2m] = Re z, x[2m+1] = Im z
+    out = jnp.stack([zr_t, zi_t], axis=-1)
+    return out.reshape(out.shape[:-2] + (n,))
 
 
 def rfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None) -> jnp.ndarray:
@@ -175,8 +248,8 @@ def rfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None)
         return _rfft_matmul_ct(x, n)
     c, s = _rdft_basis(n)
     xr = x.astype(jnp.float32)
-    re = jnp.matmul(xr, c, precision=jax.lax.Precision.HIGHEST)
-    im = -jnp.matmul(xr, s, precision=jax.lax.Precision.HIGHEST)
+    re = jnp.matmul(xr, c, precision=_MATMUL_PRECISION)
+    im = -jnp.matmul(xr, s, precision=_MATMUL_PRECISION)
     return jax.lax.complex(re, im)
 
 
@@ -193,8 +266,8 @@ def irfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None
     im = jnp.imag(x).astype(jnp.float32)
     bins = n // 2 + 1
     re, im = re[..., :bins], im[..., :bins]
-    return (jnp.matmul(re, a, precision=jax.lax.Precision.HIGHEST)
-            + jnp.matmul(im, b, precision=jax.lax.Precision.HIGHEST))
+    return (jnp.matmul(re, a, precision=_MATMUL_PRECISION)
+            + jnp.matmul(im, b, precision=_MATMUL_PRECISION))
 
 
 def fft_c(xr: jnp.ndarray, xi: jnp.ndarray, n: int, backend: Optional[str] = None):

@@ -34,12 +34,17 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                stereo: bool = True, stereo_coherence: float = 0.67,
                length: Optional[int] = None, rand_init: bool = False,
                key: Optional[jax.Array] = None,
-               backend: Optional[str] = None) -> jnp.ndarray:
+               backend: Optional[str] = None,
+               work_dtype: str = "float32") -> jnp.ndarray:
     """Reconstruct audio from magnitudes.
 
     specgram: (B, C, frames, bins) linear magnitudes (note frames-major
     layout, unlike the reference's (.., bins, frames)).
     Returns (B, C, T) with T = (frames-1)*hop (or ``length``).
+
+    ``work_dtype="bfloat16"`` carries the iterated phases/spectra in bf16
+    (half the HBM traffic; the final magnitude-weighted istft stays fp32) —
+    the loop is self-correcting so convergence quality is barely affected.
     """
     if not 0 <= momentum < 1:
         raise ValueError(f"momentum must be in [0, 1), got {momentum}")
@@ -68,18 +73,26 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
     stft_fn = partial(_sfft, window=window, n_fft=n_fft,
                       hop_length=hop_length, backend=backend)
 
+    wd = jnp.dtype(work_dtype)
+
     def body(i, carry):
         ang_r, ang_i, prev_r, prev_i = carry
         t = i.astype(jnp.float32) / n_iter - stereo_coherence
         interp = jnp.where(t > 0.0, merged + (spec - merged) * t, merged)
-        inverse = istft_fn(jax.lax.complex(ang_r * interp, ang_i * interp))
+        x_r = (ang_r.astype(jnp.float32)) * interp
+        x_i = (ang_i.astype(jnp.float32)) * interp
+        inverse = istft_fn(jax.lax.complex(x_r, x_i))
         rebuilt = stft_fn(inverse)
         rr, ri = jnp.real(rebuilt), jnp.imag(rebuilt)
-        nr = rr - mom * prev_r
-        ni = ri - mom * prev_i
+        nr = rr - mom * prev_r.astype(jnp.float32)
+        ni = ri - mom * prev_i.astype(jnp.float32)
         mag = jnp.sqrt(nr * nr + ni * ni) + 1e-16
-        return nr / mag, ni / mag, rr, ri
+        return ((nr / mag).astype(wd), (ni / mag).astype(wd),
+                rr.astype(wd), ri.astype(wd))
 
-    init = (ang_r, ang_i, jnp.zeros_like(ang_r), jnp.zeros_like(ang_i))
+    init = (ang_r.astype(wd), ang_i.astype(wd),
+            jnp.zeros_like(ang_r, wd), jnp.zeros_like(ang_i, wd))
     ang_r, ang_i, _, _ = jax.lax.fori_loop(0, n_iter, body, init)
+    ang_r = ang_r.astype(jnp.float32)
+    ang_i = ang_i.astype(jnp.float32)
     return istft_fn(jax.lax.complex(ang_r * spec, ang_i * spec), length=length)

@@ -392,3 +392,24 @@ def phase_invariance_loss(latents_a: jnp.ndarray, latents_b: jnp.ndarray) -> jnp
     a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
     b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
     return 1.0 - jnp.sum(a * b, axis=-1)
+
+
+def vicreg_regularization(latents: jnp.ndarray, variance_weight: float = 1.0,
+                          covariance_weight: float = 1.0,
+                          gamma: float = 1.0) -> jnp.ndarray:
+    """VICReg-style variance + covariance latent regularizer
+    (reference: dae_p1_trainer.py:35-69, available alternative to the
+    dispersion loss). latents (B, H, W, C); returns a scalar."""
+    b = latents.shape[0]
+    z = latents.reshape(b, -1).astype(jnp.float32)
+    z = z - z.mean(axis=0, keepdims=True)
+    # hinge variance: encourage per-dim std >= gamma
+    std = jnp.sqrt(z.var(axis=0) + 1e-4)
+    var_loss = jnp.mean(jnp.maximum(gamma - std, 0.0))
+    # covariance: off-diagonal energy of the (dim-subsampled) covariance
+    d = min(z.shape[1], 512)
+    zc = z[:, :d]
+    cov = (zc.T @ zc) / max(b - 1, 1)
+    off = cov - jnp.diag(jnp.diag(cov))
+    cov_loss = jnp.sum(off ** 2) / d
+    return var_loss * variance_weight + cov_loss * covariance_weight

@@ -125,3 +125,30 @@ def test_dataloader_filters_invalid(tmp_path):
         data_dir=str(tmp_path), load_datatypes=("latents",)))
     assert len(ds) == 0
     assert ds.num_filtered_samples["train"] == 1
+
+
+def test_scraper_local_utils(tmp_path):
+    import zipfile
+    from dualdiffusion_tpu.dataset.scrapers import (extract_archives,
+                                                    compare_folders,
+                                                    list_file_types)
+    (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "x.txt").write_text("hello")
+    (tmp_path / "a" / "y.wav").write_bytes(b"\x00" * 10)
+    (tmp_path / "b" / "x.txt").write_text("hello world")
+    with zipfile.ZipFile(tmp_path / "a" / "arc.zip", "w") as z:
+        z.writestr("inner.txt", "data")
+    extracted = extract_archives(str(tmp_path / "a"))
+    assert len(extracted) == 1
+    assert (tmp_path / "a" / "arc" / "inner.txt").read_text() == "data"
+    cmp = compare_folders(str(tmp_path / "a"), str(tmp_path / "b"))
+    assert "y.wav" in cmp["only_a"] and "x.txt" in cmp["size_mismatch"]
+    census = list_file_types(str(tmp_path / "a"))
+    assert census[".txt"] >= 2
+
+
+def test_scrapers_fail_cleanly_offline():
+    from dualdiffusion_tpu.dataset.scrapers import scrape_zophar
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="zero-egress"):
+        scrape_zophar("nes", "/tmp/nowhere")

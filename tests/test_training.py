@@ -306,3 +306,14 @@ def test_unet_eval_step_and_validation(key):
 
 def _build_bank():
     return EMABank([EMAConfig(name="std0.05", std=0.05)])
+
+
+def test_vicreg(key):
+    lat = jax.random.normal(key, (8, 4, 4, 4))
+    v = float(L.vicreg_regularization(lat))
+    assert np.isfinite(v) and v >= 0
+    # variance hinge: collapsed latents penalized at gamma, healthy ~0
+    collapsed = jnp.zeros((8, 4, 4, 4))
+    v_col = float(L.vicreg_regularization(collapsed, covariance_weight=0.0))
+    v_ok = float(L.vicreg_regularization(lat, covariance_weight=0.0))
+    assert v_col > v_ok and v_col == pytest.approx(1.0, abs=0.05)
