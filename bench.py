@@ -38,6 +38,11 @@ def main():
     import jax.numpy as jnp
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
+    # fastest MXU precision for the matmul-DFT stages (FGLA quality is
+    # unaffected: spectral convergence err 0.0353 vs 0.0377 at highest)
+    from dualdiffusion_tpu.ops import fft as _ddfft
+    _ddfft.set_matmul_precision("default")
+
     from dualdiffusion_tpu.models.dae import DAE, DAEConfig
     from dualdiffusion_tpu.models.formats import (SpectrogramFormat,
                                                   SpectrogramFormatConfig)
@@ -71,7 +76,8 @@ def main():
                               model_channels=64, channel_mult=(1, 2, 3, 4),
                               num_layers_per_block=2, attn_levels=(2, 3),
                               attn_axis="freq", logvar_channels=128)
-        fmt_cfg = SpectrogramFormatConfig(num_fgla_iters=args.fgla)
+        fmt_cfg = SpectrogramFormatConfig(num_fgla_iters=args.fgla,
+                                          fgla_work_dtype="bfloat16")
 
     lat_h, lat_w = mel_h // ds, mel_w // ds
     fmt = SpectrogramFormat(fmt_cfg)

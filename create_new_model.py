@@ -36,7 +36,10 @@ def init_module(module_type: str, config, key):
         x = jnp.zeros(lead + (h, 2 ** (len(config.channel_mult) - 1) * 4,
                               config.in_channels))
         emb = jnp.zeros((1, config.in_channels_emb)) if config.in_channels_emb else None
-        ref = (jnp.zeros((1, config.in_psd_freqs, x.shape[-2], config.in_channels))
+        # the PSD ref must shrink by the same factor as the dummy input so
+        # the in_psd_freqs // in_num_freqs channel-fold ratio stays intact
+        ref = (jnp.zeros((1, config.in_psd_freqs * h // config.in_num_freqs,
+                          x.shape[-2], config.in_channels))
                if config.in_psd_freqs else None)
         variables = module.init(key, x, jnp.ones((1,)), emb, ref,
                                 method=UNet.init_all)

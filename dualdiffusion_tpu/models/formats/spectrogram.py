@@ -52,6 +52,7 @@ class SpectrogramFormatConfig(FormatConfig):
     num_fgla_iters: int = 200
     fgla_momentum: float = 0.99
     stereo_coherence: float = 0.67
+    fgla_work_dtype: str = "float32"   # "bfloat16" halves loop HBM traffic
 
     @property
     def stereo(self) -> bool:
@@ -140,7 +141,8 @@ class SpectrogramFormat(Format):
         return griffinlim(mag_lin, self.window, cfg.padded_length, cfg.hop_length,
                           n_iter=n_fgla_iters or cfg.num_fgla_iters,
                           momentum=cfg.fgla_momentum, stereo=cfg.stereo,
-                          stereo_coherence=cfg.stereo_coherence, key=key)
+                          stereo_coherence=cfg.stereo_coherence, key=key,
+                          work_dtype=cfg.fgla_work_dtype)
 
     def get_ln_freqs(self) -> jnp.ndarray:
         """log-spaced mel center frequencies, normalized (used as a

@@ -257,8 +257,10 @@ class UNetCore(nn.Module):
             # the model's freq rows (reference: unet_edm2_q4_ddec.py:269-271)
             b, pbins, w, c = x_ref.shape
             per = cfg.in_psd_freqs // cfg.in_num_freqs
-            r = x_ref.reshape(b, cfg.in_num_freqs, per, w, c)
-            r = jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(b, cfg.in_num_freqs, w, per * c)
+            # rows derive from the actual ref shape (pbins // per), not the
+            # config constant, so proportionally reduced inputs still fold
+            r = x_ref.reshape(b, pbins // per, per, w, c)
+            r = jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(b, pbins // per, w, per * c)
             x = mp_cat(x, r.astype(dtype), axis=-1, t=cfg.label_balance)
         elif x_ref is not None:
             # inpainting / img2img reference channels concatenated as extra

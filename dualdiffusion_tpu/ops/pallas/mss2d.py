@@ -7,21 +7,40 @@ never shipped; SURVEY.md §2.9 item 1 flags it as the clearest Pallas
 candidate).
 
 The jnp reference implementation (training/losses.py MSSLoss2D)
-materializes the unfolded block tensor (B, C, nH, nW, bw, bw) in HBM — a
-(bw/stride)^2 memory blowup (64x at bw=64, overlap 8). This kernel DMAs
-overlapping row-strips of the sample/target spectrograms into VMEM
-(overlap is inexpressible with standard BlockSpecs, so strips are copied
-manually from HBM with double-buffer-ready async copies) and computes
-window -> 2D DFT (small MXU matmuls) -> |.| -> weighted |diff| -> sum per
-block without materializing anything.
+materializes the fully unfolded block tensor (B, C, nH, nW, bw, bw) in
+HBM — a (bw/stride)^2 = 64x memory blowup at bw=64 / overlap 8. This
+kernel unfolds only the W axis on the host (bw/stride = 8x, one axis) and
+streams overlapping H row-strips through VMEM with manual async copies,
+computing window -> 2D DFT (small MXU matmuls) -> |.| -> weighted |diff|
+-> scalar without ever materializing block tensors in HBM.
 
-`interpret=True` runs it on CPU for tests.
+Mosaic constraints shaped this design (probed on real v5e):
+  * no `rev`, no value-space `dynamic_slice` -> all dynamic indexing goes
+    through refs with pl.ds;
+  * dynamic indices on the minor two (tiled) dims must be provably
+    8/128-aligned -> the column loop indexes dim 0 of a (n_cols, bw, 128)
+    scratch, which is unconstrained;
+  * DMA slices of HBM arrays must keep the (1,128) lane tiling -> the
+    host-unfolded array's minor (W-window) dim is zero-padded to 128 and
+    the window / rfft bases are zero-padded to match, so the pad lanes
+    contribute exactly 0 to every matmul;
+  * out blocks must tile (8,128) or equal the array shape -> the loss is
+    accumulated into a single (1,1) SMEM block revisited by every grid
+    step (the TPU grid is sequential).
+
+Measured on v5e-1 at DAE-training size (4,2,256,344), fp32: fused kernel
+244 ms vs 102 ms for the jnp unfold path — XLA's giant batched matmuls win
+on latency at sizes where the unfold fits in HBM, so the jnp path stays the
+trainer default; this kernel is the memory-constrained option (the unfold
+tensor is ~64x the spectrogram and OOMs first at larger batch/resolution).
+
+`interpret=True` runs the same kernel on CPU for tests.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,42 +60,60 @@ def _dft_bases(bw: int):
             half.real.astype(np.float32), half.imag.astype(np.float32))
 
 
+_LANE = 128  # TPU lane tile width
+
+
 def _mss2d_kernel(sample_hbm, target_hbm, window_ref, cr_ref, ci_ref,
                   kr_ref, ki_ref, weight_ref, out_ref, s_scr, t_scr, sems,
-                  *, bw: int, stride: int, n_cols: int, chunks: int):
+                  *, bw: int, stride: int, n_cols: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    cp_s = pltpu.make_async_copy(sample_hbm.at[b, pl.ds(i, chunks)],
-                                 s_scr, sems.at[0])
-    cp_t = pltpu.make_async_copy(target_hbm.at[b, pl.ds(i, chunks)],
-                                 t_scr, sems.at[1])
+    # row strip i covers H rows [i*stride, i*stride + bw) for every
+    # pre-framed column block: (n_cols, bw, _LANE) into VMEM
+    cp_s = pltpu.make_async_copy(
+        sample_hbm.at[b, :, pl.ds(i * stride, bw), :], s_scr, sems.at[0])
+    cp_t = pltpu.make_async_copy(
+        target_hbm.at[b, :, pl.ds(i * stride, bw), :], t_scr, sems.at[1])
     cp_s.start()
     cp_t.start()
     cp_s.wait()
     cp_t.wait()
 
-    w = s_scr.shape[-1]
-    strip_s = s_scr[:].reshape(bw, w)
-    strip_t = t_scr[:].reshape(bw, w)
     win = window_ref[:]
 
-    def fft2_mag(blk):
-        rr = jnp.dot(cr_ref[:].T, blk, preferred_element_type=jnp.float32)
-        ri = jnp.dot(ci_ref[:].T, blk, preferred_element_type=jnp.float32)
-        gr = (jnp.dot(rr, kr_ref[:], preferred_element_type=jnp.float32)
-              - jnp.dot(ri, ki_ref[:], preferred_element_type=jnp.float32))
-        gi = (jnp.dot(rr, ki_ref[:], preferred_element_type=jnp.float32)
-              + jnp.dot(ri, kr_ref[:], preferred_element_type=jnp.float32))
+    # all n_cols blocks of the strip at once: per-block matmuls are tiny
+    # (depth bw), so batching them into one contraction is what keeps the
+    # MXU fed (a fori_loop variant measured 3x SLOWER than the jnp path;
+    # this one beats it)
+    def fft2_mag(sw):                      # (n_cols, bw_h, _LANE) windowed
+        rr = jax.lax.dot_general(sw, cr_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ri = jax.lax.dot_general(sw, ci_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # rr/ri: (n_cols, _LANE, f); contract the lane (W) dim with the
+        # zero-padded rfft bases -> (n_cols, f, bins)
+        gr = (jax.lax.dot_general(rr, kr_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              - jax.lax.dot_general(ri, ki_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+        gi = (jax.lax.dot_general(rr, ki_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(ri, kr_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
         return jnp.sqrt(gr * gr + gi * gi)
 
-    def body(j, acc):
-        blk_s = jax.lax.dynamic_slice(strip_s, (0, j * stride), (bw, bw)) * win
-        blk_t = jax.lax.dynamic_slice(strip_t, (0, j * stride), (bw, bw)) * win
-        diff = jnp.abs(fft2_mag(blk_s) - fft2_mag(blk_t)) * weight_ref[:]
-        return acc + jnp.sum(diff)
+    mag_s = fft2_mag(s_scr[:] * win)
+    mag_t = fft2_mag(t_scr[:] * win)
+    part = jnp.sum(jnp.abs(mag_s - mag_t) * weight_ref[:])
 
-    out_ref[0, 0] = jax.lax.fori_loop(0, n_cols, body, jnp.float32(0.0))
+    # single-scalar output block revisited by every (sequential) grid step:
+    # zero on the first step, accumulate after
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _init():
+        out_ref[0, 0] = jnp.float32(0.0)
+
+    out_ref[0, 0] += part
 
 
 def mss2d_block_loss(sample: jnp.ndarray, target: jnp.ndarray, bw: int,
@@ -89,18 +126,30 @@ def mss2d_block_loss(sample: jnp.ndarray, target: jnp.ndarray, bw: int,
     Returns the summed weighted |mag diff| over all block positions.
     """
     bc, h, w = sample.shape
-    assert h % stride == 0 and bw % stride == 0
+    assert bw <= _LANE, "block widths above one lane tile are unsupported"
     n_rows = (h - bw) // stride + 1
     n_cols = (w - bw) // stride + 1
-    chunks = bw // stride
     cr, ci, kr, ki = _dft_bases(bw)
+    bins = bw // 2 + 1
 
-    sv = sample.reshape(bc, h // stride, stride, w)
-    tv = target.reshape(bc, h // stride, stride, w)
+    # unfold the W axis on the host: (BC, H, n_cols, bw) -> (BC, n_cols, H, bw)
+    # and zero-pad the minor dim to a full lane tile for DMA legality
+    idx = np.arange(n_cols)[:, None] * stride + np.arange(bw)[None, :]
+    lane_pad = [(0, 0), (0, 0), (0, 0), (0, _LANE - bw)]
+    sv = jnp.pad(jnp.transpose(sample[:, :, idx], (0, 2, 1, 3)), lane_pad)
+    tv = jnp.pad(jnp.transpose(target[:, :, idx], (0, 2, 1, 3)), lane_pad)
+
+    # zero-padded window / rfft bases: pad lanes multiply to 0 and
+    # contribute 0 rows to the second-stage contraction
+    win_p = np.zeros((bw, _LANE), np.float32)
+    win_p[:, :bw] = window
+    kr_p = np.zeros((_LANE, bins), np.float32)
+    kr_p[:bw] = kr
+    ki_p = np.zeros((_LANE, bins), np.float32)
+    ki_p[:bw] = ki
 
     out = pl.pallas_call(
-        functools.partial(_mss2d_kernel, bw=bw, stride=stride,
-                          n_cols=n_cols, chunks=chunks),
+        functools.partial(_mss2d_kernel, bw=bw, stride=stride, n_cols=n_cols),
         grid=(bc, n_rows),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -112,30 +161,35 @@ def mss2d_block_loss(sample: jnp.ndarray, target: jnp.ndarray, bw: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda b, i: (b, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bc, n_rows), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((chunks, stride, w), jnp.float32),
-            pltpu.VMEM((chunks, stride, w), jnp.float32),
+            pltpu.VMEM((n_cols, bw, _LANE), jnp.float32),
+            pltpu.VMEM((n_cols, bw, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sv, tv, jnp.asarray(window, jnp.float32), jnp.asarray(cr),
-      jnp.asarray(ci), jnp.asarray(kr), jnp.asarray(ki),
+    )(sv, tv, jnp.asarray(win_p), jnp.asarray(cr),
+      jnp.asarray(ci), jnp.asarray(kr_p), jnp.asarray(ki_p),
       jnp.asarray(weight, jnp.float32))
-    return out.sum()
+    return out[0, 0]
 
 
 def mss2d_loss_fused(sample: jnp.ndarray, target: jnp.ndarray,
                      block_widths: Tuple[int, ...] = (8, 16, 32, 64),
                      block_overlap: int = 8,
+                     min_fused_bw: int = 32,
                      interpret: bool = False) -> jnp.ndarray:
     """Multi-scale fused 2D MSS over (B, C, H, W) pairs with the reference's
     flat-top window and product frequency weighting (matches
     training.losses.MSSLoss2D defaults up to the per-block mean->sum
-    normalization, which this applies per block size)."""
-    from ...training.losses import _window_2d
+    normalization, which this applies per block size).
+
+    Block sizes below `min_fused_bw` fall back to the jnp unfold path
+    (identical math): their lane padding to 128 would cost more HBM than
+    the unfold saves."""
+    from ...training.losses import _window_2d, unfold_2d
     b, c = sample.shape[:2]
     s = sample.reshape((-1,) + sample.shape[2:]).astype(jnp.float32)
     t = target.reshape((-1,) + target.shape[2:]).astype(jnp.float32)
@@ -145,17 +199,18 @@ def mss2d_loss_fused(sample: jnp.ndarray, target: jnp.ndarray,
             continue
         stride = max(bw // block_overlap, 1)
         pad = bw // 2
-        sp = jnp.pad(s, [(0, 0), (pad, pad), (pad, pad)], mode="reflect")
-        tp = jnp.pad(t, [(0, 0), (pad, pad), (pad, pad)], mode="reflect")
-        # pad H to a stride multiple (framing requirement)
-        extra = (-sp.shape[1]) % stride
-        if extra:
-            sp = jnp.pad(sp, [(0, 0), (0, extra), (0, 0)])
-            tp = jnp.pad(tp, [(0, 0), (0, extra), (0, 0)])
         win = _window_2d("flat_top", bw)
         fh = np.fft.fftfreq(bw, d=1.0 / bw)
         fw = np.fft.rfftfreq(bw, d=1.0 / bw)
         weight = ((np.abs(fh)[:, None] + 1) * (np.abs(fw)[None, :] + 1)).astype(np.float32)
+        if bw < min_fused_bw:
+            sb = unfold_2d(sample, bw, stride) * jnp.asarray(win)
+            tb = unfold_2d(target, bw, stride) * jnp.asarray(win)
+            d = jnp.abs(jnp.abs(jnp.fft.rfft2(sb)) - jnp.abs(jnp.fft.rfft2(tb)))
+            total = total + jnp.mean(d * jnp.asarray(weight))
+            continue
+        sp = jnp.pad(s, [(0, 0), (pad, pad), (pad, pad)], mode="reflect")
+        tp = jnp.pad(t, [(0, 0), (pad, pad), (pad, pad)], mode="reflect")
         n_rows = (sp.shape[1] - bw) // stride + 1
         n_cols = (sp.shape[2] - bw) // stride + 1
         norm = b * c * n_rows * n_cols * bw * (bw // 2 + 1)

@@ -8,5 +8,7 @@ from .train_state import (TrainState, UNetTrainConfig, make_unet_train_step,
                           make_unet_eval_step, init_train_state)
 from . import losses
 from .module_trainers import (DDECTrainConfig, DAETrainConfig,
+                              JointDAEDDECConfig,
                               make_ddec_train_step, make_dae_train_step,
+                              make_joint_dae_ddec_train_step,
                               random_stereo_augmentation)

@@ -152,3 +152,53 @@ def build_ddec_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
         return out
 
     return step, state, _export_fn(pipeline, tconf.module_name), bank, batch_adapter
+
+
+@register_module_trainer("dae_ddec")
+def build_joint_dae_ddec_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
+    """Joint DAE + DDEC training — the reference's multi-module
+    `train_modules` mode (reference: training/trainer.py:204-209,
+    1030-1042) with the DDEC conditioned on the live DAE reconstruction.
+    `module_name` names the ddec module; the dae module is resolved from
+    the pipeline. Checkpoints export BOTH modules."""
+    from ..models.unet import UNet
+    from ..pipelines.pipeline import save_module
+    from .module_trainers import (JointDAEDDECConfig,
+                                  make_joint_dae_ddec_train_step)
+    h = pipeline.modules[tconf.module_name]
+    dae_h = pipeline.modules.get("dae")
+    assert dae_h is not None, "joint training requires a dae module"
+    model = h.module
+    cfg = config_from_dict(JointDAEDDECConfig, dict(tconf.module_trainer_config))
+    cfg.grad_accum_steps = tconf.gradient_accumulation_steps
+
+    def ddec_apply(p, x, sigma, emb, ref, k):
+        return model.apply(p, x, sigma, emb, ref, training=True,
+                           rngs={"dropout": k})
+
+    def get_logvar(p, sigma):
+        return model.apply(p, sigma, method=UNet.get_sigma_loss_logvar)
+
+    opt = _make_optimizer(tconf)
+    bank = _make_ema_bank(tconf)
+    step = make_joint_dae_ddec_train_step(dae_h.module, ddec_apply, get_logvar,
+                                          pipeline.format, opt, bank, cfg,
+                                          _total_batch(tconf))
+    params = {"dae": dae_h.variables, "ddec": h.variables}
+    trainable = {"dae": dae_h.variables["params"], "ddec": h.variables}
+    state = init_train_state(params, opt, bank, cfg.ddec.unet.sigma, key,
+                             trainable=trainable)
+
+    def export(ckpt_dir, variables):
+        save_module(ckpt_dir, "dae", dae_h.module_type, dae_h.config,
+                    variables["dae"])
+        save_module(ckpt_dir, tconf.module_name, h.module_type, h.config,
+                    variables["ddec"])
+
+    def batch_adapter(batch):
+        out = {"audio": jnp.asarray(batch["audio"])}
+        if "audio_embeddings" in batch:
+            out["audio_embeddings"] = jnp.asarray(batch["audio_embeddings"])
+        return out
+
+    return step, state, export, bank, batch_adapter

@@ -299,3 +299,139 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
         return new_state, logs
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# joint multi-module training (reference: trainer.py:204-209, 1030-1042 —
+# train_modules with more than one module stepping one optimizer)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class JointDAEDDECConfig:
+    dae: DAETrainConfig = field(default_factory=DAETrainConfig)
+    ddec: DDECTrainConfig = field(default_factory=DDECTrainConfig)
+    dae_loss_weight: float = 1.0
+    ddec_loss_weight: float = 1.0
+    grad_accum_steps: int = 1
+
+
+def make_joint_dae_ddec_train_step(dae_model, ddec_apply, ddec_get_logvar,
+                                   fmt, optimizer, ema_bank,
+                                   config: JointDAEDDECConfig,
+                                   total_batch_size: int):
+    """Train the DAE and the DDEC together: the DDEC is conditioned on the
+    LIVE (trainable) DAE reconstruction, so conditioning-usefulness gradients
+    flow into the DAE on top of its own recon losses. State:
+      params = {"dae": {"params", "stats"}, "ddec": {...}}.
+    """
+    from ..models.dae import DAE as _DAE
+    from .sigma_sampler import SigmaSampler
+    from .train_state import TrainState
+    cfg = config
+    dae_cfg = cfg.dae
+    mss = L.MSSLoss2D(dae_cfg.mss2d)
+    sampler = SigmaSampler(cfg.ddec.unet.sigma)
+    c = cfg.ddec.crop_edges
+
+    def loss_fn(trainable, dae_stats, batch, sigma, key, global_step):
+        k_st, k_ph, k_drop = jax.random.split(key, 3)
+        audio = batch["audio"].astype(jnp.float32)
+        if cfg.ddec.random_stereo_augmentation:
+            audio = random_stereo_augmentation(k_st, audio)
+        mdct = fmt.raw_to_mdct(audio,
+                               random_phase_augmentation=cfg.ddec.random_phase_augmentation,
+                               key=k_ph)
+        raw = jax.lax.stop_gradient(fmt.mdct_to_raw(mdct))
+        mel = fmt.raw_to_mel_spec(raw)
+        ds = dae_model.downsample_ratio
+        mel = jax.lax.stop_gradient(mel[:, :, : mel.shape[2] // ds * ds])
+
+        dae_vars = {"params": trainable["dae"], "stats": dae_stats}
+        (latents, recon_mel, pre_norm), new_vars = dae_model.apply(
+            dae_vars, mel, None, training=True, mutable=["stats"])
+
+        # ---- dae losses (subset of make_dae_train_step) ----------------
+        s_cf = jnp.transpose(mel, (0, 3, 1, 2))
+        r_cf = jnp.transpose(recon_mel.astype(jnp.float32), (0, 3, 1, 2))
+        recon_loss = mss(r_cf, s_cf)
+        logvar = dae_model.apply(dae_vars, method=_DAE.get_recon_loss_logvar)
+        dae_loss = (recon_loss / jnp.exp(logvar) + logvar).mean()
+        var = jnp.mean(pre_norm.astype(jnp.float32) ** 2, axis=(0, 1, 2)) + 1e-20
+        kl = (var - 1.0 - jnp.log(var)).mean()
+        dae_loss = dae_loss + kl * dae_cfg.kl_loss_weight * jnp.minimum(
+            global_step / max(dae_cfg.kl_warmup_steps, 1), 1.0)
+
+        # ---- ddec diffusion loss conditioned on the live recon ----------
+        recon_c = recon_mel[:, :, c:-c] if c > 0 else recon_mel
+        lin = fmt.mel_spec_to_linear(recon_c.astype(jnp.float32))
+        mdct_c = mdct[:, :, c:-c] if c > 0 else mdct
+        mdct_c = jax.lax.stop_gradient(mdct_c[:, :, : lin.shape[2]])
+        sig = sigma.reshape((-1,) + (1,) * (mdct_c.ndim - 1))
+        noise = jax.random.normal(jax.random.fold_in(key, 3), mdct_c.shape) * sig
+        denoised = ddec_apply(trainable["ddec"], mdct_c + noise, sigma, None,
+                              lin, k_drop)
+        sd = cfg.ddec.unet.sigma.sigma_data
+        weight = (sig ** 2 + sd ** 2) / (sig * sd) ** 2
+        w_loss = (((denoised - mdct_c) ** 2) * weight).mean(
+            axis=tuple(range(1, mdct_c.ndim)))
+        dd_logvar = ddec_get_logvar(trainable["ddec"], sigma).reshape(-1)
+        ddec_loss = (w_loss / jnp.exp(dd_logvar) + dd_logvar).mean()
+
+        total = dae_loss * cfg.dae_loss_weight + ddec_loss * cfg.ddec_loss_weight
+        return total, {"loss_dae": dae_loss, "loss_ddec": ddec_loss,
+                       "stats": new_vars["stats"]}
+
+    accum = cfg.grad_accum_steps
+
+    def train_step(state: TrainState, batch):
+        rng, step_key, sigma_key = jax.random.split(state.rng, 3)
+        gstep = state.global_step.astype(jnp.float32)
+        global_sigma = sampler.sample(sigma_key, total_batch_size,
+                                      state.sigma_pdf)
+        trainable = {"dae": state.params["dae"]["params"],
+                     "ddec": state.params["ddec"]}
+        dae_stats = state.params["dae"]["stats"]
+        device_batch = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            batch)
+        sig_micro = global_sigma[:device_batch].reshape(accum, -1)
+        keys = jax.random.split(step_key, accum)
+
+        def body(carry, xs):
+            grads_acc, loss_acc, stats_c = carry
+            mb, sg, k = xs
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, stats_c, mb, sg, k, gstep)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss, aux["stats"]), \
+                (aux["loss_dae"], aux["loss_ddec"])
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        (grads, loss_sum, new_stats), (ld, ldd) = jax.lax.scan(
+            body, (zero, 0.0, dae_stats), (micro, sig_micro, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_trainable = normalize_mp_weights(new_trainable)
+        new_params = {"dae": {"params": new_trainable["dae"],
+                              "stats": new_stats},
+                      "ddec": new_trainable["ddec"]}
+
+        samples = state.total_samples_processed + total_batch_size
+        if ema_bank is not None:
+            ema_state, new_params = ema_bank.update(
+                state.ema_state, new_params, state.total_samples_processed,
+                total_batch_size, gstep)
+        else:
+            ema_state = state.ema_state
+        new_state = TrainState(params=new_params, opt_state=opt_state,
+                               ema_state=ema_state, sigma_pdf=state.sigma_pdf,
+                               global_step=state.global_step + 1,
+                               total_samples_processed=samples, rng=rng)
+        return new_state, {"loss": loss_sum / accum, "loss_dae": ld.mean(),
+                           "loss_ddec": ldd.mean()}
+
+    return train_step

@@ -388,6 +388,8 @@ class Trainer:
                 if paths is not None and cfg.logging.per_sample_loss_logging:
                     self._record_sample_losses(paths, logs)
 
+                self._maybe_archive_emas(step)
+
                 now = time.time()
                 should_ckpt = (now - self.last_checkpoint_time > cfg.min_checkpoint_time
                                and cfg.strict_checkpoint_time)
@@ -420,6 +422,23 @@ class Trainer:
                     time.time() - self.last_checkpoint_time > cfg.min_checkpoint_time:
                 self.save_checkpoint()
         return self.state
+
+    def _maybe_archive_emas(self, step: int) -> None:
+        """bf16 EMA archive snapshots every num_archive_steps for post-hoc
+        reconstruction (reference: ema.py:316-321)."""
+        if self.ema_bank is None or not self.config.model_path or step == 0:
+            return
+        for name, cfg in self.ema_bank.configs.items():
+            n = cfg.num_archive_steps
+            if n and step % n == 0:
+                path = Path(self.config.model_path) / \
+                    f"{self.config.module_name}_ema_archive" / \
+                    f"{step}_ema_{name}.safetensors"
+                path.parent.mkdir(parents=True, exist_ok=True)
+                save_ema_archive(self.state.ema_state[name], str(path), step,
+                                 int(self.state.total_samples_processed),
+                                 cfg.std or 0.0)
+                logger.info("archived ema '%s' at step %d", name, step)
 
     def validate(self) -> Dict[str, float]:
         """Validation loss for the train weights and every EMA profile

@@ -129,3 +129,43 @@ def test_raw_format_roundtrip(audio, dual, atol):
     if dual:  # interior is much tighter (edge artifacts decay inward)
         err = np.abs(np.asarray(y) - np.asarray(x))[..., 2048:-2048]
         assert err.max() < 1e-2
+
+
+def test_ms_mdct_dual_mel_matches_torch_golden(audio):
+    """Golden: the multi-window blended mel spec equals an independent torch
+    evaluation of the published math (RMS-normed hann^e windows, normalized
+    stft, mel-density division, RMS-normed slaney filters, gaussian window
+    blending; reference: ms_mdct_dual_2.py:100-216)."""
+    torch = pytest.importorskip("torch")
+    cfg = MSMDCTDualFormatConfig()
+    fmt = MSMDCTDualFormat(cfg)
+    x = np.asarray(audio)[:, :, :32768]
+    ours = np.asarray(fmt.raw_to_mel_spec(jnp.asarray(x)))   # (B,F,T',C)
+
+    xt = torch.from_numpy(x.reshape(-1, x.shape[-1]))
+    blended = None
+    dens = torch.from_numpy(fmt.ms_stft_mel_density)
+    filters = torch.from_numpy(fmt.ms_filters)
+    for i, e in enumerate(cfg.ms_window_exponents):
+        win = torch.from_numpy(fmt.ms_windows[i]).float()
+        spec = torch.stft(xt, n_fft=cfg.ms_window_length,
+                          hop_length=cfg.ms_hop_length, window=win,
+                          center=True, pad_mode="reflect", normalized=True,
+                          onesided=True, return_complex=True).abs()
+        spec = spec / dens[None, :, None]
+        mel = torch.matmul(spec.transpose(-1, -2), filters).transpose(-1, -2)
+        mel = mel * torch.from_numpy(
+            fmt.ms_filter_window_weights[:, i])[None, :, None]
+        blended = mel if blended is None else blended + mel
+    ref = (blended ** cfg.ms_abs_exponent + cfg.raw_to_mel_spec_offset) \
+        / cfg.raw_to_mel_spec_scale
+    ref = ref.reshape(x.shape[0], x.shape[1], *ref.shape[1:]).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))                     # (B,F,T',C)
+    # noise-floor bins (|blended| ~ 1e-5 of peak) disagree at fp32 between
+    # jnp and torch FFTs and the **0.25 compression makes that visible in
+    # absolute mel units; audible-content bins match tightly
+    d = np.abs(ours - ref)
+    assert d.max() < 0.06, d.max()
+    assert np.median(d) < 5e-3
+    loud = ref > ref.mean()
+    np.testing.assert_allclose(ours[loud], ref[loud], rtol=1e-3, atol=1e-3)

@@ -34,9 +34,14 @@ def test_mss2d_kernel_matches_direct(rng):
 
 
 def test_mss2d_fused_multiscale(rng):
-    s = jnp.asarray(rng.standard_normal((1, 2, 32, 48)).astype(np.float32))
-    t = jnp.asarray(rng.standard_normal((1, 2, 32, 48)).astype(np.float32))
-    loss = float(mss2d_loss_fused(s, t, block_widths=(8, 16), interpret=True))
+    s = jnp.asarray(rng.standard_normal((1, 2, 40, 64)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((1, 2, 40, 64)).astype(np.float32))
+    # (8 -> jnp fallback path, 32 -> fused kernel path)
+    loss = float(mss2d_loss_fused(s, t, block_widths=(8, 32), interpret=True))
     assert np.isfinite(loss) and loss > 0
-    zero = float(mss2d_loss_fused(s, s, block_widths=(8, 16), interpret=True))
+    zero = float(mss2d_loss_fused(s, s, block_widths=(8, 32), interpret=True))
     assert zero < 1e-6
+    # the fused kernel computes the identical math as the jnp unfold path
+    ref = float(mss2d_loss_fused(s, t, block_widths=(8, 32),
+                                 min_fused_bw=10_000, interpret=True))
+    assert abs(loss - ref) / ref < 1e-4
