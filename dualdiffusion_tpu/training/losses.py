@@ -413,3 +413,70 @@ def vicreg_regularization(latents: jnp.ndarray, variance_weight: float = 1.0,
     off = cov - jnp.diag(jnp.diag(cov))
     cov_loss = jnp.sum(off ** 2) / d
     return var_loss * variance_weight + cov_loss * covariance_weight
+
+
+# ---------------------------------------------------------------------------
+# latent shift-equivariance loss
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EquivarianceLossConfig:
+    levels: int = 4            # latent upsample factor = 2**(levels-1)
+    filter_beta: float = 1.5
+    filter_k_size: int = 7
+    crop_range: int = 8
+
+
+def _crop_per_sample(t: jnp.ndarray, yo: jnp.ndarray, xo: jnp.ndarray,
+                     crop: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H-crop, W-crop, C) at per-sample (yo, xo)."""
+    b, h, w, c = t.shape
+
+    def one(ti, y, x):
+        return jax.lax.dynamic_slice(ti, (y, x, 0), (h - crop, w - crop, c))
+
+    return jax.vmap(one)(t, yo, xo)
+
+
+def equivariance_loss(key: jax.Array, encode_fn, mel_spec: jnp.ndarray,
+                      latents: jnp.ndarray,
+                      config: EquivarianceLossConfig = EquivarianceLossConfig()
+                      ) -> jnp.ndarray:
+    """Latent shift-equivariance loss (reference: loss/equivariance.py:63-101):
+    crop the mel spec by per-sample offsets in [1, crop_range], re-encode, and
+    L1-compare against the ORIGINAL latents kaiser-filter-upsampled, cropped
+    at the same offsets, and filter-downsampled back (so the target is the
+    sub-latent-pixel shifted latent). The re-encoded latents are
+    re-standardized to the target's mean/std with their own statistics
+    detached, exactly as the reference does.
+
+    mel_spec (B, F, T, C) channel-last; latents (B, F/2**(levels-1), ..., C').
+    encode_fn: cropped mel -> latents (trainable path). Returns (B,) losses.
+    """
+    from ..models.layers import (filtered_downsample_2d, filtered_upsample_2d)
+    cfg = config
+    b = mel_spec.shape[0]
+    cr = cfg.crop_range
+    ky, kx = jax.random.split(key)
+    yo = jax.random.randint(ky, (b,), 1, cr + 1)
+    xo = jax.random.randint(kx, (b,), 1, cr + 1)
+
+    mel_c = _crop_per_sample(mel_spec, yo, xo, cr)
+
+    up = latents
+    for _ in range(cfg.levels - 1):
+        up = filtered_upsample_2d(up, cfg.filter_k_size * 2 + cfg.filter_k_size % 2,
+                                  cfg.filter_beta)
+    lat_c = _crop_per_sample(up, yo, xo, cr)
+    down = lat_c
+    for _ in range(cfg.levels - 1):
+        down = filtered_downsample_2d(down, cfg.filter_k_size, cfg.filter_beta)
+    down = jax.lax.stop_gradient(down)
+
+    lat2 = encode_fn(mel_c).astype(jnp.float32)
+    ax = (1, 2, 3)
+    s2 = jax.lax.stop_gradient(lat2.std(axis=ax, keepdims=True))
+    m2 = jax.lax.stop_gradient(lat2.mean(axis=ax, keepdims=True))
+    lat2 = (lat2 / s2 * down.std(axis=ax, keepdims=True)
+            - m2 + down.mean(axis=ax, keepdims=True))
+    return jnp.abs(lat2 - down).mean(axis=ax)

@@ -38,7 +38,8 @@ from ..models.mp import normalize
 from . import losses as L
 from .ema import EMABank
 from .optim import normalize_mp_weights
-from .train_state import TrainState, UNetTrainConfig, make_unet_train_step
+from .train_state import (TrainState, UNetTrainConfig, _find_clip_stat,
+                          make_unet_train_step)
 
 
 def random_stereo_augmentation(key: jax.Array, audio: jnp.ndarray) -> jnp.ndarray:
@@ -130,6 +131,7 @@ class DAETrainConfig:
     kl_warmup_steps: int = 20000
     phase_invariance_loss_weight: float = 1.0
     latents_dispersion_loss_weight: float = 0.0
+    equivariance_loss_weight: float = 0.0
     latents_regularization_warmup_steps: int = 20000
     point_loss_weight: float = 2.0
     point_loss_warmup_steps: int = 100
@@ -239,6 +241,18 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
             total = total + disp.mean() * cfg.latents_dispersion_loss_weight * reg_w
             logs["loss_dispersion"] = disp.mean()
 
+        if cfg.equivariance_loss_weight > 0:
+            # latent shift-equivariance (reference: loss/equivariance.py)
+            eq_cfg = L.EquivarianceLossConfig(
+                levels=int(np.log2(dae_model.downsample_ratio)) + 1)
+            enc = lambda m: dae_model.apply(variables, m, dae_emb,
+                                            method=_DAE.encode)
+            eq = L.equivariance_loss(jax.random.fold_in(k_drop, 11), enc,
+                                     samples, latents.astype(jnp.float32),
+                                     eq_cfg)
+            total = total + eq.mean() * cfg.equivariance_loss_weight * reg_w
+            logs["loss_equivariance"] = eq.mean()
+
         # KL-to-unit-variance on pre-norm latents (reference :373-383)
         var = jnp.mean(pre_norm ** 2, axis=(0, 1, 2)) + 1e-20
         var_kl = var - 1.0 - jnp.log(var)
@@ -278,6 +292,7 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
         loss = loss_sum / accum
 
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        grad_norm = _find_clip_stat(opt_state, "last_grad_norm")
         params = optax.apply_updates(params, updates)
         params = normalize_mp_weights(params)
         new_variables = {"params": params, "stats": new_stats}
@@ -296,6 +311,7 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
             total_samples_processed=samples_processed, rng=rng)
         logs = {k: v.mean() for k, v in logs_seq.items()}
         logs["loss"] = loss
+        logs["grad_norm"] = grad_norm
         return new_state, logs
 
     return train_step
@@ -414,6 +430,7 @@ def make_joint_dae_ddec_train_step(dae_model, ddec_apply, ddec_get_logvar,
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        grad_norm = _find_clip_stat(opt_state, "last_grad_norm")
         new_trainable = optax.apply_updates(trainable, updates)
         new_trainable = normalize_mp_weights(new_trainable)
         new_params = {"dae": {"params": new_trainable["dae"],
@@ -431,7 +448,8 @@ def make_joint_dae_ddec_train_step(dae_model, ddec_apply, ddec_get_logvar,
                                ema_state=ema_state, sigma_pdf=state.sigma_pdf,
                                global_step=state.global_step + 1,
                                total_samples_processed=samples, rng=rng)
-        return new_state, {"loss": loss_sum / accum, "loss_dae": ld.mean(),
+        return new_state, {"loss": loss_sum / accum, "grad_norm": grad_norm,
+                           "loss_dae": ld.mean(),
                            "loss_ddec": ldd.mean()}
 
     return train_step

@@ -374,6 +374,15 @@ class Trainer:
                            f"grad_norm/{cfg.module_name}": float(logs.get("grad_norm", 0.0)),
                            "perf/steps_per_sec": 1.0 / max(step_times[-1], 1e-9),
                            "perf/total_train_hours": self.total_train_hours}
+                # forward every scalar component the module trainer reports
+                # (loss_recon, loss_kl, loss_equivariance, loss_dae, ...)
+                for k, v in logs.items():
+                    if k in ("loss", "grad_norm", "bucket_sums",
+                             "bucket_counts", "sample_losses"):
+                        continue
+                    v = np.asarray(v)
+                    if v.ndim == 0:
+                        scalars[f"{k}/{cfg.module_name}"] = float(v)
                 bs = logs.get("bucket_sums")
                 bc = logs.get("bucket_counts")
                 if bs is not None and bc is not None:

@@ -317,3 +317,144 @@ def test_vicreg(key):
     v_col = float(L.vicreg_regularization(collapsed, covariance_weight=0.0))
     v_ok = float(L.vicreg_regularization(lat, covariance_weight=0.0))
     assert v_col > v_ok and v_col == pytest.approx(1.0, abs=0.05)
+
+
+def test_equivariance_loss_prefers_equivariant_encoder(rng):
+    """An encoder that IS shift-equivariant (filtered downsampling) must
+    score far lower than random latents."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.layers import filtered_downsample_2d
+    from dualdiffusion_tpu.training.losses import (EquivarianceLossConfig,
+                                                   equivariance_loss)
+
+    cfg = EquivarianceLossConfig(levels=3)  # latent = mel / 4
+
+    def encode(mel):
+        z = mel
+        for _ in range(cfg.levels - 1):
+            z = filtered_downsample_2d(z, cfg.filter_k_size, cfg.filter_beta)
+        return z
+
+    # smooth input so sub-pixel shifts are well captured by kaiser filters
+    x = rng.standard_normal((2, 64, 72, 2)).astype("float32")
+    k = jnp.asarray(np.stack([np.hanning(9)] * 2))  # smooth along both axes
+    mel = jnp.asarray(x)
+    for ax in (1, 2):
+        mel = jax.vmap(lambda m: jnp.apply_along_axis(
+            lambda v: jnp.convolve(v, jnp.asarray(np.hanning(9)), mode="same"),
+            ax - 1, m), in_axes=0)(mel)
+    latents = encode(mel)
+
+    key = jax.random.PRNGKey(0)
+    good = float(equivariance_loss(key, encode, mel, latents, cfg).mean())
+    bad = float(equivariance_loss(
+        key, encode, mel,
+        jnp.asarray(rng.standard_normal(latents.shape).astype("float32")),
+        cfg).mean())
+    assert np.isfinite(good) and good < 0.5 * bad, (good, bad)
+
+
+def _tiny_dual_fmt():
+    from dualdiffusion_tpu.models.formats import (MSMDCTDualFormat,
+                                                  MSMDCTDualFormatConfig)
+    return MSMDCTDualFormat(MSMDCTDualFormatConfig())
+
+
+def test_dae_train_step_smoke(rng):
+    """One DAE train step end-to-end incl. the equivariance loss."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+    from dualdiffusion_tpu.training import (DAETrainConfig,
+                                            make_dae_train_step,
+                                            init_train_state)
+    from dualdiffusion_tpu.training.sigma_sampler import SigmaSamplerConfig
+
+    fmt = _tiny_dual_fmt()
+    dae = DAE(DAEConfig(model_channels=8, channel_mult_enc=(1, 2),
+                        channel_mult_dec=(1, 2), num_enc_layers_per_block=1,
+                        num_dec_layers_per_block=1, latent_channels=4))
+    audio = jnp.asarray(rng.standard_normal((2, 2, 16384)).astype("float32") * 0.1)
+    mel = fmt.raw_to_mel_spec(audio)
+    ds = dae.downsample_ratio
+    variables = dae.init(jax.random.PRNGKey(0),
+                         mel[:, :, : mel.shape[2] // ds * ds])
+
+    cfg = DAETrainConfig(crop_edges=2, kl_warmup_steps=1,
+                         point_loss_warmup_steps=1,
+                         latents_regularization_warmup_steps=1,
+                         equivariance_loss_weight=0.1,
+                         random_stereo_augmentation=False)
+    opt = optax.adam(1e-3)
+    step = make_dae_train_step(dae, fmt, opt, None, cfg, 2)
+    state = init_train_state(variables, opt, None, SigmaSamplerConfig(),
+                             jax.random.PRNGKey(1))
+    new_state, logs = jax.jit(step)(state, {"audio": audio})
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["loss_equivariance"]))
+    assert int(new_state.global_step) == 1
+
+
+def test_joint_dae_ddec_train_step_smoke(rng):
+    """One joint DAE+DDEC step: both losses finite, both subtrees update."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+    from dualdiffusion_tpu.training import (JointDAEDDECConfig,
+                                            make_joint_dae_ddec_train_step,
+                                            init_train_state)
+
+    fmt = _tiny_dual_fmt()
+    dae = DAE(DAEConfig(model_channels=8, channel_mult_enc=(1, 2),
+                        channel_mult_dec=(1, 2), num_enc_layers_per_block=1,
+                        num_dec_layers_per_block=1, latent_channels=4))
+    audio = jnp.asarray(rng.standard_normal((2, 2, 16384)).astype("float32") * 0.1)
+    mel = fmt.raw_to_mel_spec(audio)
+    ds = dae.downsample_ratio
+    dae_vars = dae.init(jax.random.PRNGKey(0),
+                        mel[:, :, : mel.shape[2] // ds * ds])
+
+    mdct = fmt.raw_to_mdct(audio)
+    nf = mdct.shape[1]
+    ddec = UNet(UNetConfig(in_channels=2, out_channels=2, in_channels_emb=0,
+                           in_num_freqs=nf,
+                           in_psd_freqs=fmt.config.ms_num_stft_bins - 1,
+                           model_channels=8, channel_mult=(1, 2),
+                           num_layers_per_block=1, channels_per_head=8,
+                           logvar_channels=16))
+    lin = fmt.mel_spec_to_linear(mel[:, :, : mel.shape[2] // ds * ds])
+    w = min(mdct.shape[2], lin.shape[2]) // 4 * 4
+    ddec_vars = ddec.init(jax.random.PRNGKey(1), mdct[:, :, :w],
+                          jnp.ones((2,)), None, lin[:, :, :w],
+                          method=UNet.init_all)
+
+    def ddec_apply(p, x, sigma, emb, ref, k):
+        return ddec.apply(p, x, sigma, emb, ref, training=True,
+                          rngs={"dropout": k})
+
+    def get_logvar(p, sigma):
+        return ddec.apply(p, sigma, method=UNet.get_sigma_loss_logvar)
+
+    cfg = JointDAEDDECConfig()
+    cfg.ddec.crop_edges = 2
+    cfg.ddec.random_stereo_augmentation = False
+    cfg.ddec.random_phase_augmentation = False
+    opt = optax.adam(1e-3)
+    from dualdiffusion_tpu.training.sigma_sampler import SigmaSamplerConfig
+    step = make_joint_dae_ddec_train_step(dae, ddec_apply, get_logvar, fmt,
+                                          opt, None, cfg, 2)
+    params = {"dae": dae_vars, "ddec": ddec_vars}
+    trainable = {"dae": dae_vars["params"], "ddec": ddec_vars}
+    state = init_train_state(params, opt, None, cfg.ddec.unet.sigma,
+                             jax.random.PRNGKey(2), trainable=trainable)
+    new_state, logs = jax.jit(step)(state, {"audio": audio})
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["loss_dae"]))
+    assert np.isfinite(float(logs["loss_ddec"]))
+    old = jax.tree_util.tree_leaves(state.params)
+    new = jax.tree_util.tree_leaves(new_state.params)
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(old, new))
