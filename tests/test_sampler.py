@@ -113,3 +113,36 @@ def test_sampler_jits_once():
 
     out = run(jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edm_sample_deterministic_golden():
+    """Determinism lock: same key + params must reproduce these values
+    (guards against accidental semantic changes to the sampler loop).
+    Golden computed on CPU with jax 0.9.0."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.sampling import SampleParams, edm_sample
+
+    def denoise(x, sigma):
+        tgt = jnp.cos(jnp.arange(x.shape[-1], dtype=jnp.float32))[None, None, None]
+        s = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x + tgt) / (1.0 + s)
+
+    sp = SampleParams(steps=12, cfg_scale=1.5, use_heun=True)
+    out, _ = edm_sample(denoise, (1, 4, 8, 16), sp, 100.0, 0.05, 1.0,
+                        jax.random.PRNGKey(7), return_debug=False)
+    arr = np.asarray(out)
+    assert abs(float(arr.mean()) - 0.06598825007677078) < 1e-5
+    assert abs(float(arr.std()) - 0.9977203011512756) < 1e-5
+    np.testing.assert_allclose(
+        arr[0, 0, 0, :4],
+        [1.0372520685195923, 1.064802885055542,
+         -0.8345791697502136, -0.9093671441078186], rtol=1e-5)
+    # identical key -> identical output (bitwise)
+    out2, _ = edm_sample(denoise, (1, 4, 8, 16), sp, 100.0, 0.05, 1.0,
+                         jax.random.PRNGKey(7), return_debug=False)
+    assert bool(jnp.all(out == out2))
+    # different key -> different output
+    out3, _ = edm_sample(denoise, (1, 4, 8, 16), sp, 100.0, 0.05, 1.0,
+                         jax.random.PRNGKey(8), return_debug=False)
+    assert float(jnp.abs(out - out3).max()) > 1e-3
