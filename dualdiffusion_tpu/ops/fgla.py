@@ -57,6 +57,10 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
         merged = jnp.broadcast_to(merged, spec.shape)
     else:
         merged = spec
+    # materialize the loop-invariant magnitudes so the caller's producer
+    # chain (mel unscale matmul, **(1/abs_exponent), transposes) can never
+    # be rematerialized inside the loop when composed into a larger jit
+    spec, merged = jax.lax.optimization_barrier((spec, merged))
 
     if rand_init:
         if key is None:

@@ -43,8 +43,11 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
         x = x[..., :pad_to]
     y = x.reshape(x.shape[:-1] + (rows_needed, hop_length))
     phases = [jax.lax.slice_in_dim(y, q, q + f, axis=-2) for q in range(p)]
-    frames = jnp.stack(phases, axis=-2)  # (..., F, P, hop)
-    frames = frames.reshape(frames.shape[:-2] + (p * hop_length,))
+    # concat along the LANE axis — never materialize a separate P axis.
+    # (stack(axis=-2) + reshape put P in the minor tile pair, which XLA laid
+    # out with 128x padding: 688 MB for a 5.4 MB slice at the flagship FGLA
+    # size, seen in an HBM OOM dump on v5e.)
+    frames = jnp.concatenate(phases, axis=-1)  # (..., F, P*hop)
     return frames[..., :frame_length]
 
 
@@ -58,11 +61,15 @@ def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
         l += pad
     p = l // hop_length
     rows_out = f - 1 + p
-    y = frames.reshape(frames.shape[:-1] + (p, hop_length))  # (..., F, P, hop)
+    # slice hop-chunks off the LANE axis (tile-aligned when hop % 128 == 0)
+    # instead of reshaping to (..., F, P, hop) — see frame_signal for the
+    # pathological layout XLA picks when P lands in the minor tile pair
     out = jnp.zeros(frames.shape[:-2] + (rows_out, hop_length), frames.dtype)
     for q in range(p):
+        chunk = jax.lax.slice_in_dim(frames, q * hop_length,
+                                     (q + 1) * hop_length, axis=-1)
         pad = [(0, 0)] * (frames.ndim - 2) + [(q, rows_out - f - q), (0, 0)]
-        out = out + jnp.pad(y[..., :, q, :], pad)
+        out = out + jnp.pad(chunk, pad)
     out = out.reshape(out.shape[:-2] + (rows_out * hop_length,))
     return out[..., :out_len]
 
