@@ -162,17 +162,18 @@ def _pack_twiddles(n: int):
     return (np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32))
 
 
-def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def _rfft_pair_ct(x: jnp.ndarray, n: int):
     """Packed real FFT: one half-size complex CT transform + O(n) combine.
 
     z[m] = x[2m] + i x[2m+1]; X built from Z and its reversal — half the
     matmul data movement of a full-size transform and no hermitian pass.
+    Returns (real, imag).
     """
     m = n // 2
     if m % 2 != 0 or _best_factorization(m) is None or _best_factorization(m)[0] == 1:
         full_r, full_i = _fft_ct(x, None, n)
         bins = n // 2 + 1
-        return jax.lax.complex(full_r[..., :bins], full_i[..., :bins])
+        return full_r[..., :bins], full_i[..., :bins]
     lead = x.shape[:-1]
     xe = x[..., 0::2].astype(jnp.float32)
     xo = x[..., 1::2].astype(jnp.float32)
@@ -193,17 +194,21 @@ def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
     twr, twi = _pack_twiddles(n)
     out_r = xe_r + xo_r * twr - xo_i * twi
     out_i = xe_i + xo_r * twi + xo_i * twr
-    return jax.lax.complex(out_r, out_i)
+    return out_r, out_i
 
 
-def _irfft_matmul_ct(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+def _rfft_matmul_ct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jax.lax.complex(*_rfft_pair_ct(x, n))
+
+
+def _irfft_pair_ct(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
     """Packed inverse real FFT: O(n) combine + one half-size complex inverse
     CT transform (even/odd interleave), avoiding the hermitian extension and
-    a full-size transform entirely."""
+    a full-size transform entirely. Takes (real, imag)."""
     m = n // 2
     bins = n // 2 + 1
-    sr = jnp.real(spec)[..., :bins].astype(jnp.float32)
-    si = jnp.imag(spec)[..., :bins].astype(jnp.float32)
+    sr = sr[..., :bins].astype(jnp.float32)
+    si = si[..., :bins].astype(jnp.float32)
     if m % 2 != 0 or _best_factorization(m) is None or _best_factorization(m)[0] == 1:
         ext_r = jnp.flip(sr[..., 1: n - bins + 1], axis=-1)
         ext_i = -jnp.flip(si[..., 1: n - bins + 1], axis=-1)
@@ -233,6 +238,10 @@ def _irfft_matmul_ct(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     # interleave: x[2m] = Re z, x[2m+1] = Im z
     out = jnp.stack([zr_t, zi_t], axis=-1)
     return out.reshape(out.shape[:-2] + (n,))
+
+
+def _irfft_matmul_ct(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    return _irfft_pair_ct(jnp.real(spec), jnp.imag(spec), n)
 
 
 def rfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None) -> jnp.ndarray:
@@ -266,6 +275,44 @@ def irfft(x: jnp.ndarray, n: Optional[int] = None, backend: Optional[str] = None
     im = jnp.imag(x).astype(jnp.float32)
     bins = n // 2 + 1
     re, im = re[..., :bins], im[..., :bins]
+    return (jnp.matmul(re, a, precision=_MATMUL_PRECISION)
+            + jnp.matmul(im, b, precision=_MATMUL_PRECISION))
+
+
+def rfft_pair(x: jnp.ndarray, n: Optional[int] = None,
+              backend: Optional[str] = None):
+    """Real FFT -> (real, imag) pair, skipping the complex64 packing pass
+    (one full-tensor copy each way at FGLA sizes)."""
+    n = n or x.shape[-1]
+    if _resolve(backend) == "fft":
+        out = jnp.fft.rfft(x, n=n)
+        return jnp.real(out), jnp.imag(out)
+    if x.shape[-1] != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    if n >= _FACTORIZE_MIN_N and _best_factorization(n) is not None \
+            and _best_factorization(n)[0] > 1:
+        return _rfft_pair_ct(x, n)
+    c, s_ = _rdft_basis(n)
+    xr = x.astype(jnp.float32)
+    return (jnp.matmul(xr, c, precision=_MATMUL_PRECISION),
+            -jnp.matmul(xr, s_, precision=_MATMUL_PRECISION))
+
+
+def irfft_pair(re: jnp.ndarray, im: jnp.ndarray, n: Optional[int] = None,
+               backend: Optional[str] = None) -> jnp.ndarray:
+    """Inverse real FFT from a (real, imag) pair -> real signal."""
+    n = n or 2 * (re.shape[-1] - 1)
+    if _resolve(backend) == "fft":
+        return jnp.fft.irfft(jax.lax.complex(re.astype(jnp.float32),
+                                             im.astype(jnp.float32)), n=n)
+    if n >= _FACTORIZE_MIN_N and _best_factorization(n) is not None \
+            and _best_factorization(n)[0] > 1:
+        return _irfft_pair_ct(re, im, n)
+    a, b = _irdft_basis(n)
+    bins = n // 2 + 1
+    re = re[..., :bins].astype(jnp.float32)
+    im = im[..., :bins].astype(jnp.float32)
     return (jnp.matmul(re, a, precision=_MATMUL_PRECISION)
             + jnp.matmul(im, b, precision=_MATMUL_PRECISION))
 

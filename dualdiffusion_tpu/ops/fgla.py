@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .stft import istft as _istft, stft as _sfft
+from .stft import (istft as _istft, istft_pair as _istft_pair,
+                   stft as _sfft, stft_pair as _stft_pair)
 
 
 def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
@@ -74,8 +75,10 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
 
     istft_fn = partial(_istft, window=window, n_fft=n_fft,
                        hop_length=hop_length, backend=backend)
-    stft_fn = partial(_sfft, window=window, n_fft=n_fft,
-                      hop_length=hop_length, backend=backend)
+    istft_pair_fn = partial(_istft_pair, window=window, n_fft=n_fft,
+                            hop_length=hop_length, backend=backend)
+    stft_pair_fn = partial(_stft_pair, window=window, n_fft=n_fft,
+                           hop_length=hop_length, backend=backend)
 
     wd = jnp.dtype(work_dtype)
 
@@ -85,9 +88,9 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
         interp = jnp.where(t > 0.0, merged + (spec - merged) * t, merged)
         x_r = (ang_r.astype(jnp.float32)) * interp
         x_i = (ang_i.astype(jnp.float32)) * interp
-        inverse = istft_fn(jax.lax.complex(x_r, x_i))
-        rebuilt = stft_fn(inverse)
-        rr, ri = jnp.real(rebuilt), jnp.imag(rebuilt)
+        # pair-based transforms: no complex64 pack/unpack passes in the loop
+        inverse = istft_pair_fn(x_r, x_i)
+        rr, ri = stft_pair_fn(inverse)
         nr = rr - mom * prev_r.astype(jnp.float32)
         ni = ri - mom * prev_i.astype(jnp.float32)
         mag = jnp.sqrt(nr * nr + ni * ni) + 1e-16

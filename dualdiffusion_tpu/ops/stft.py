@@ -98,6 +98,45 @@ def stft(x: jnp.ndarray, window: np.ndarray, n_fft: int, hop_length: int,
     return _fft.rfft(frames, n_fft, backend=backend)
 
 
+def stft_pair(x: jnp.ndarray, window: np.ndarray, n_fft: int,
+              hop_length: int, center: bool = True,
+              backend: Optional[str] = None):
+    """stft returning a (real, imag) pair — no complex64 packing pass.
+    Used by the FGLA loop where both halves are consumed separately."""
+    win = _pad_center(np.asarray(window, np.float64), n_fft)
+    if center:
+        padw = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, padw, mode="reflect")
+    frames = frame_signal(x, n_fft, hop_length)
+    frames = frames * jnp.asarray(win, frames.dtype)
+    return _fft.rfft_pair(frames, n_fft, backend=backend)
+
+
+def istft_pair(sp_r: jnp.ndarray, sp_i: jnp.ndarray, window: np.ndarray,
+               n_fft: int, hop_length: int, center: bool = True,
+               length: Optional[int] = None, backend: Optional[str] = None,
+               envelope_eps: float = 1e-11) -> jnp.ndarray:
+    """istft from a (real, imag) pair — no complex64 unpacking pass."""
+    win = _pad_center(np.asarray(window, np.float64), n_fft)
+    f = sp_r.shape[-2]
+    frames = _fft.irfft_pair(sp_r, sp_i, n_fft, backend=backend)
+    frames = frames * jnp.asarray(win, frames.dtype)
+    sig = overlap_add(frames, hop_length)
+    env_frames = np.broadcast_to(win ** 2, (f, n_fft))
+    env = _overlap_add_np(env_frames, hop_length)
+    env = np.maximum(env, envelope_eps).astype(np.float32)
+    sig = sig / jnp.asarray(env, sig.dtype)
+    if center:
+        sig = sig[..., n_fft // 2: sig.shape[-1] - n_fft // 2]
+    out_len = length if length is not None else (f - 1) * hop_length
+    if sig.shape[-1] > out_len:
+        sig = sig[..., :out_len]
+    elif sig.shape[-1] < out_len:
+        sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1)
+                      + [(0, out_len - sig.shape[-1])])
+    return sig
+
+
 def istft(spec: jnp.ndarray, window: np.ndarray, n_fft: int, hop_length: int,
           center: bool = True, length: Optional[int] = None,
           normalized: bool = False, backend: Optional[str] = None,

@@ -97,3 +97,18 @@ def test_windows_match_torch():
         get_window("kaiser", 128, beta=12.0, periodic=True),
         torch.kaiser_window(128, beta=12.0, periodic=True).numpy(),
         rtol=1e-5, atol=1e-6)
+
+
+def test_stft_istft_pair_match_complex(rng):
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.ops import stft, istft, stft_pair, istft_pair
+    from dualdiffusion_tpu.ops.windows import get_window
+    win = get_window("hann", 512, periodic=True)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype("float32"))
+    sp = stft(x, win, 512, 128)
+    pr, pi = stft_pair(x, win, 512, 128)
+    np.testing.assert_allclose(np.asarray(jnp.real(sp)), np.asarray(pr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.imag(sp)), np.asarray(pi), atol=1e-4)
+    y1 = istft(sp, win, 512, 128)
+    y2 = istft_pair(pr, pi, win, 512, 128)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
