@@ -1,3 +1,4 @@
 from .mesh import (make_mesh, batch_sharding, replicated_sharding,
-                   shard_batch, MeshConfig)
+                   shard_batch, param_sharding_rule, shard_train_state,
+                   MeshConfig)
 from .sharded_ops import sharded_tiled_encode, sharded_tiled_decode

@@ -63,3 +63,37 @@ def shard_batch(mesh: Mesh, batch):
     def place(x):
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
     return jax.tree_util.tree_map(place, batch)
+
+
+def param_sharding_rule(mesh: Mesh, leaf: jax.Array,
+                        axis_name: str = "model") -> NamedSharding:
+    """Tensor-parallel / FSDP placement rule for one array.
+
+    MPConv kernels are (out_channels, in_channels, *k) — shard the
+    out-channel dim over the 'model' axis when divisible; everything else
+    (biases, gains, scalars, fourier tables) is replicated. GSPMD then
+    propagates: convs compute their output-channel slice locally and the
+    next layer's in-channel contraction inserts the reduce-scatter /
+    all-reduce (reference's DDP has no analog — the reference is
+    single-node data-parallel only, trainer.py Accelerate init).
+    """
+    size = mesh.shape[axis_name]
+    if leaf.ndim >= 2 and leaf.shape[0] % size == 0 and leaf.shape[0] >= size:
+        return NamedSharding(mesh, P(axis_name))
+    return NamedSharding(mesh, P())
+
+
+def shard_train_state(mesh: Mesh, state, axis_name: str = "model"):
+    """Place a TrainState (or any pytree mirroring the param shapes —
+    optimizer moments, EMA profiles) with tensor-parallel weight sharding.
+
+    Every array leaf goes through ``param_sharding_rule``; since Adam's
+    mu/nu and each EMA profile mirror the parameter shapes, one uniform
+    rule shards the whole state consistently (the FSDP property: weights,
+    grads, moments and EMAs all live sharded; XLA inserts the collectives).
+    """
+    def place(x):
+        if not hasattr(x, "ndim"):
+            return x
+        return jax.device_put(x, param_sharding_rule(mesh, x, axis_name))
+    return jax.tree_util.tree_map(place, state)

@@ -67,3 +67,63 @@ def test_mesh_and_batch_sharding():
     assert mesh.shape["data"] == 8
     batch = shard_batch(mesh, {"x": np.zeros((16, 4), np.float32)})
     assert not batch["x"].sharding.is_fully_replicated
+
+
+def test_tensor_parallel_state_sharding():
+    """dp x tp on a (4,2) mesh: tensor-parallel weights must produce the
+    same loss as pure DP (GSPMD inserts the collectives)."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.parallel import (MeshConfig, make_mesh,
+                                            param_sharding_rule, shard_batch,
+                                            shard_train_state)
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+    from dualdiffusion_tpu.training import (SigmaSamplerConfig, UNetTrainConfig,
+                                            build_optimizer, init_train_state,
+                                            lr_schedule, make_unet_train_step)
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=16,
+                     model_channels=16, channel_mult=(1, 2),
+                     num_layers_per_block=1, channels_per_head=16,
+                     logvar_channels=16)
+    model = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 16, 32, 4)), jnp.ones((1,)),
+                        jnp.zeros((1, 16)), method=UNet.init_all)
+
+    def apply_fn(p, x, sigma, emb, ref, k):
+        return model.apply(p, x, sigma, emb, training=True, rngs={"dropout": k})
+
+    def get_emb(p, e, m):
+        return model.apply(p, e, m, method=UNet.get_embeddings)
+
+    def get_logvar(p, s):
+        return model.apply(p, s, method=UNet.get_sigma_loss_logvar)
+
+    tconf = UNetTrainConfig(grad_accum_steps=1, sigma=SigmaSamplerConfig())
+    opt = build_optimizer("adamw", lr_schedule("edm2", 1e-3, 10, 100))
+    step = make_unet_train_step(apply_fn, get_emb, get_logvar, opt, None,
+                                tconf, total_batch_size=8)
+    batch = {"samples": np.random.default_rng(0).standard_normal(
+                 (8, 16, 32, 4)).astype("float32"),
+             "embeddings": np.random.default_rng(1).standard_normal(
+                 (8, 16)).astype("float32")}
+
+    losses = {}
+    for model_axis in (1, 2):
+        mesh = make_mesh(MeshConfig(model_axis=model_axis))
+        state = init_train_state(params, opt, None, tconf.sigma,
+                                 jax.random.PRNGKey(1))
+        state = shard_train_state(mesh, state)
+        b = shard_batch(mesh, batch)
+        with mesh:
+            _, logs = jax.jit(step)(state, b)
+        losses[model_axis] = float(logs["loss"])
+        # the rule must actually shard something on the model axis
+        if model_axis == 2:
+            specs = [param_sharding_rule(mesh, l).spec
+                     for l in jax.tree_util.tree_leaves(state.params)
+                     if hasattr(l, "ndim")]
+            assert any(s != () and s[0] == "model" for s in map(tuple, specs))
+    assert np.isfinite(losses[1]) and np.isfinite(losses[2])
+    assert abs(losses[1] - losses[2]) / abs(losses[1]) < 5e-2, losses
