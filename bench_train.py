@@ -1,0 +1,76 @@
+"""Supplementary benchmark: flagship UNet training-step throughput on one
+chip (the driver's headline bench.py measures inference; this measures the
+training path: stratified sigma, CFG dropout, EDM2 NLL, grad accum 1,
+AdamW + forced MP weight renorm + 2-profile EMA bank).
+
+Prints one JSON line {"metric": "unet_train_samples_per_sec", ...}.
+"""
+import argparse, json, sys, time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+    from dualdiffusion_tpu.training import (EMABank, EMAConfig,
+                                            SigmaSamplerConfig, UNetTrainConfig,
+                                            build_optimizer, init_train_state,
+                                            lr_schedule, make_unet_train_step)
+
+    print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+    cfg = UNetConfig(in_channels=8, out_channels=8, in_channels_emb=1024,
+                     model_channels=64, channel_mult=(1, 2, 3, 4),
+                     num_layers_per_block=2, attn_levels=(2, 3),
+                     attn_axis="freq", logvar_channels=128)
+    model = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    b = args.batch
+    params = model.init(key, jnp.zeros((1, 32, 688, 8)), jnp.ones((1,)),
+                        jnp.zeros((1, 1024)), method=UNet.init_all)
+
+    def apply_fn(p, x, sigma, emb, ref, k):
+        return model.apply(p, x, sigma, emb, training=True, rngs={"dropout": k})
+
+    def get_emb(p, e, m):
+        return model.apply(p, e, m, method=UNet.get_embeddings)
+
+    def get_logvar(p, s):
+        return model.apply(p, s, method=UNet.get_sigma_loss_logvar)
+
+    tconf = UNetTrainConfig(grad_accum_steps=1, sigma=SigmaSamplerConfig(),
+                            conditioning_dropout=0.1)
+    opt = build_optimizer("adamw", lr_schedule("edm2", 1e-3, 100, 1000))
+    bank = EMABank([EMAConfig(name="std0.05", std=0.05),
+                    EMAConfig(name="std0.1", std=0.1)])
+    step = jax.jit(make_unet_train_step(apply_fn, get_emb, get_logvar, opt,
+                                        bank, tconf, total_batch_size=b))
+    state = init_train_state(params, opt, bank, tconf.sigma, key)
+    rng = np.random.default_rng(0)
+    batch = {"samples": jnp.asarray(rng.standard_normal(
+                 (b, 32, 688, 8)).astype(np.float32)),
+             "embeddings": jnp.asarray(rng.standard_normal(
+                 (b, 1024)).astype(np.float32))}
+
+    state, logs = step(state, batch)   # compile
+    _ = float(logs["loss"])            # forced device->host sync
+    t0 = time.time()
+    for _ in range(args.iters):
+        state, logs = step(state, batch)
+    loss = float(logs["loss"])         # sync: loss depends on the last step
+    dt = (time.time() - t0) / args.iters
+    assert np.isfinite(loss)
+    print(f"step={dt*1000:.1f}ms loss={loss:.4f}", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "unet_train_samples_per_sec",
+                      "value": round(b / dt, 2), "unit": "samples/s",
+                      "batch": b, "step_ms": round(dt * 1000, 1)}))
+
+
+if __name__ == "__main__":
+    main()

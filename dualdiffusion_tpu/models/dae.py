@@ -290,3 +290,24 @@ def tiled_encode(apply_fn, params, x: jnp.ndarray,
         latents = jax.lax.dynamic_update_slice(
             latents, lat[:, :, v0:v1], (0, 0, d0, 0))
     return latents
+
+
+def top_pca_components(x: jnp.ndarray, n_pca: int = 4) -> jnp.ndarray:
+    """Per-sample PCA projection of latent channels for visualization
+    (reference: daes/dae.py:34-56). x: (B, H, W, C) channel-last latents ->
+    (B, H, W, n_pca) projections onto the top principal components.
+
+    TPU-native: batched via vmap + one SVD on the (HW, C) matrix per sample
+    (C is small, so the SVD is tiny; no per-sample Python loop)."""
+    b, h, w, c = x.shape
+    n_pca = min(n_pca, c)
+
+    def one(xb):
+        flat = xb.reshape(h * w, c).astype(jnp.float32)
+        centered = flat - flat.mean(axis=0, keepdims=True)
+        # principal directions = right singular vectors of the centered data
+        _, _, vt = jnp.linalg.svd(centered, full_matrices=False)
+        proj = centered @ vt[:n_pca].T                   # (HW, n_pca)
+        return proj.reshape(h, w, n_pca)
+
+    return jax.vmap(one)(x)

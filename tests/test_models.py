@@ -196,3 +196,18 @@ def test_dae_tiled_encode_matches_full(key):
     # interiors agree; chunk seams may differ slightly from conv padding
     err = np.abs(np.asarray(tiled) - np.asarray(full))
     assert np.median(err) < 1e-4
+
+
+def test_top_pca_components(key):
+    from dualdiffusion_tpu.models.dae import top_pca_components
+    # latents with a dominant direction: component 0 must capture it
+    base = jax.random.normal(key, (2, 8, 16, 1))
+    direction = jnp.asarray([3.0, -2.0, 1.0, 0.5])
+    x = base * direction + 0.01 * jax.random.normal(key, (2, 8, 16, 4))
+    out = top_pca_components(x, n_pca=2)
+    assert out.shape == (2, 8, 16, 2)
+    # first component variance dominates the second
+    v = jnp.var(out, axis=(1, 2))
+    assert bool((v[:, 0] > 5 * v[:, 1]).all())
+    # projections are centered
+    assert abs(float(out.mean())) < 1e-4
