@@ -198,6 +198,13 @@ class Trainer:
         self.last_checkpoint_time = time.time()
         self.total_train_hours = 0.0
         self.epoch = 0
+        lrc = config.lr_schedule
+        self._lr_fn = lr_schedule(lrc.lr_schedule, lrc.learning_rate,
+                                  lrc.lr_warmup_steps, lrc.lr_reference_steps,
+                                  lrc.lr_decay_exponent, lrc.min_learning_rate)
+        self.total_batch_size = (config.device_batch_size
+                                 * config.gradient_accumulation_steps
+                                 * max(jax.device_count(), 1))
         self._profiling = False
         if config.enable_anomaly_detection:
             jax.config.update("jax_debug_nans", True)
@@ -383,6 +390,24 @@ class Trainer:
                     v = np.asarray(v)
                     if v.ndim == 0:
                         scalars[f"{k}/{cfg.module_name}"] = float(v)
+                # learn rate / per-profile EMA betas / device memory
+                # (reference logs learn_rate/*, ema_betas/*, gpu_stats/*;
+                # trainer.py:1082-1102)
+                scalars[f"learn_rate/{cfg.module_name}"] = float(
+                    self._lr_fn(step))
+                if self.ema_bank is not None:
+                    from .ema import power_function_beta
+                    t = max(int(self.state.total_samples_processed), 1)
+                    bs = self.total_batch_size
+                    for name, ecfg in self.ema_bank.configs.items():
+                        if ecfg.std is not None:
+                            scalars[f"ema_betas/{name}"] = float(
+                                power_function_beta(ecfg.std, t + bs, bs))
+                if step % 25 == 0:
+                    ms = jax.local_devices()[0].memory_stats() or {}
+                    if "bytes_in_use" in ms:
+                        scalars["device_stats/mem_used_mb"] = \
+                            ms["bytes_in_use"] / 1e6
                 bs = logs.get("bucket_sums")
                 bc = logs.get("bucket_counts")
                 if bs is not None and bc is not None:
