@@ -14,11 +14,13 @@ def log(*a):
 
 
 def timed(fn, *args, n: int = 1):
-    import jax
-    out = jax.block_until_ready(fn(*args))  # compile
+    # forced device->host sync: block_until_ready does NOT reliably block
+    # through the tunneled-TPU runtime (measured 10x under-reports)
+    import numpy as np
+    out = np.asarray(fn(*args))  # compile + sync
     t0 = time.time()
     for _ in range(n):
-        out = jax.block_until_ready(fn(*args))
+        out = np.asarray(fn(*args))
     return out, (time.time() - t0) / n
 
 
