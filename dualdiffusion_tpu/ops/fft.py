@@ -82,6 +82,15 @@ def _irdft_basis(n: int):
     return a, b
 
 
+
+
+def _work_dtype(dt) -> jnp.dtype:
+    """bf16 inputs stay bf16 through the matmul-DFT stages (halves HBM
+    traffic of the big frame/spectrum tensors; MXU takes bf16 natively at
+    'default'/'high' precision); everything else computes in fp32."""
+    return jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+
+
 def _best_factorization(n: int) -> Optional[tuple]:
     """Pick n = n1*n2 with n1,n2 as close to sqrt(n) as possible."""
     best = None
@@ -134,8 +143,12 @@ def _fft_ct(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
     n1, n2, (f1r, f1i), (f2r, f2i), (twr, twi) = _ct_bases(n)
     lead = xr.shape[:-1]
     prec = _MATMUL_PRECISION
-    ar = xr.reshape(lead + (n1, n2)).astype(jnp.float32)
-    ai = xi.reshape(lead + (n1, n2)).astype(jnp.float32) if xi is not None else None
+    wd = _work_dtype(xr.dtype)
+    f1r, f1i = jnp.asarray(f1r, wd), jnp.asarray(f1i, wd)
+    f2r, f2i = jnp.asarray(f2r, wd), jnp.asarray(f2i, wd)
+    twr, twi = twr.astype(wd), twi.astype(wd)
+    ar = xr.reshape(lead + (n1, n2)).astype(wd)
+    ai = xi.reshape(lead + (n1, n2)).astype(wd) if xi is not None else None
     # stage 1: DFT over t1 (contract axis -2 with f1): y[k1, t2]
     yr = jnp.einsum("...tn,tk->...kn", ar, f1r, precision=prec)
     yi = jnp.einsum("...tn,tk->...kn", ar, f1i, precision=prec)
@@ -175,8 +188,9 @@ def _rfft_pair_ct(x: jnp.ndarray, n: int):
         bins = n // 2 + 1
         return full_r[..., :bins], full_i[..., :bins]
     lead = x.shape[:-1]
-    xe = x[..., 0::2].astype(jnp.float32)
-    xo = x[..., 1::2].astype(jnp.float32)
+    wd = _work_dtype(x.dtype)
+    xe = x[..., 0::2].astype(wd)
+    xo = x[..., 1::2].astype(wd)
     zr, zi = _fft_ct(xe, xo, m)
     # Z[(M-k) mod M]: index 0 stays, rest reversed
     zr_rev = jnp.concatenate([zr[..., :1], jnp.flip(zr[..., 1:], -1)], axis=-1)
@@ -192,6 +206,7 @@ def _rfft_pair_ct(x: jnp.ndarray, n: int):
     xo_r = 0.5 * (zi_e + zi_r)
     xo_i = -0.5 * (zr_e - zr_r)
     twr, twi = _pack_twiddles(n)
+    twr, twi = twr.astype(xe_r.dtype), twi.astype(xe_r.dtype)
     out_r = xe_r + xo_r * twr - xo_i * twi
     out_i = xe_i + xo_r * twi + xo_i * twr
     return out_r, out_i
@@ -207,8 +222,9 @@ def _irfft_pair_ct(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
     a full-size transform entirely. Takes (real, imag)."""
     m = n // 2
     bins = n // 2 + 1
-    sr = sr[..., :bins].astype(jnp.float32)
-    si = si[..., :bins].astype(jnp.float32)
+    wd = _work_dtype(sr.dtype)
+    sr = sr[..., :bins].astype(wd)
+    si = si[..., :bins].astype(wd)
     if m % 2 != 0 or _best_factorization(m) is None or _best_factorization(m)[0] == 1:
         ext_r = jnp.flip(sr[..., 1: n - bins + 1], axis=-1)
         ext_i = -jnp.flip(si[..., 1: n - bins + 1], axis=-1)
@@ -226,6 +242,7 @@ def _irfft_pair_ct(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
     dr = 0.5 * (sr - xr_rev)
     di = 0.5 * (si + xi_rev)
     twr, twi = _pack_twiddles(n)     # e^{-i ang}; conj -> (twr, -twi)
+    twr, twi = twr.astype(dr.dtype), twi.astype(dr.dtype)
     xo_r = dr * twr + di * twi       # (dr + i di) * e^{+i ang} real part
     xo_i = di * twr - dr * twi
     # Z[k] = Xe[k] + i Xo[k], k = 0..M-1

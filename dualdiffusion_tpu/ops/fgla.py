@@ -88,9 +88,12 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
         interp = jnp.where(t > 0.0, merged + (spec - merged) * t, merged)
         x_r = (ang_r.astype(jnp.float32)) * interp
         x_i = (ang_i.astype(jnp.float32)) * interp
-        # pair-based transforms: no complex64 pack/unpack passes in the loop
-        inverse = istft_pair_fn(x_r, x_i)
+        # pair-based transforms: no complex64 pack/unpack passes in the
+        # loop; in bf16 work-dtype the whole istft->stft roundtrip (frames
+        # included — the 25x-redundant big tensors) runs bf16
+        inverse = istft_pair_fn(x_r.astype(wd), x_i.astype(wd))
         rr, ri = stft_pair_fn(inverse)
+        rr, ri = rr.astype(jnp.float32), ri.astype(jnp.float32)
         nr = rr - mom * prev_r.astype(jnp.float32)
         ni = ri - mom * prev_i.astype(jnp.float32)
         mag = jnp.sqrt(nr * nr + ni * ni) + 1e-16
