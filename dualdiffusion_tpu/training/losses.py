@@ -480,3 +480,60 @@ def equivariance_loss(key: jax.Array, encode_fn, mel_spec: jnp.ndarray,
     lat2 = (lat2 / s2 * down.std(axis=ax, keepdims=True)
             - m2 + down.mean(axis=ax, keepdims=True))
     return jnp.abs(lat2 - down).mean(axis=ax)
+
+
+# ---------------------------------------------------------------------------
+# prime-width 1D MSS (the m1 trainer's raw/MDCT-domain variant)
+# ---------------------------------------------------------------------------
+
+PRIME_BLOCK_WIDTHS_1D = (31, 53, 83, 137, 223, 359, 577, 937, 1511, 2447,
+                         3967, 6397)
+PRIME_BLOCK_STEPS_1D = (7, 11, 17, 29, 47, 79, 127, 211, 337, 547, 887, 1433)
+
+
+@functools.lru_cache(maxsize=32)
+def _flat_top_window_1d(n: int) -> np.ndarray:
+    """Periodic flat-top window on (k+0.5)/n, RMS-normalized
+    (reference: dae_trainer_m1.py:159-167)."""
+    x = (np.arange(n) + 0.5) / n * 2.0 * np.pi
+    w = (0.21557895 - 0.41663158 * np.cos(x) + 0.277263158 * np.cos(2 * x)
+         - 0.083578947 * np.cos(3 * x) + 0.006947368 * np.cos(4 * x))
+    return (w / np.sqrt(np.mean(w ** 2))).astype(np.float32)
+
+
+def prime_mss_1d(sample: jnp.ndarray, target: jnp.ndarray,
+                 block_widths: Tuple[int, ...] = PRIME_BLOCK_WIDTHS_1D,
+                 block_steps: Tuple[int, ...] = PRIME_BLOCK_STEPS_1D
+                 ) -> jnp.ndarray:
+    """Prime-width 1D multi-scale spectral loss on raw/MDCT-domain signals
+    (reference: dae_trainer_m1.py:136-208): for each prime (width, step)
+    pair, unfold -> RMS-normed flat-top window -> 2D ortho FFT over
+    (block-index, within-block) -> target-energy-normalized MSE on
+    magnitudes, per-frequency-bin weighting sqrt(bw)/rms(target).
+
+    sample/target: (B, C, T). Returns per-sample (B,) losses.
+    """
+    from ..ops.stft import frame_signal
+    pad = block_widths[-1] // 2
+    pads = [(0, 0)] * (sample.ndim - 1) + [(pad, pad)]
+    s = jnp.pad(sample.astype(jnp.float32), pads, mode="reflect")
+    t = jax.lax.stop_gradient(
+        jnp.pad(target.astype(jnp.float32), pads, mode="reflect"))
+
+    loss = jnp.zeros((target.shape[0],), jnp.float32)
+    for bw, step in zip(block_widths, block_steps):
+        win = jnp.asarray(_flat_top_window_1d(bw))
+
+        def fft2_abs(x):
+            blocks = frame_signal(x, bw, step) * win        # (B, C, nB, bw)
+            f = jnp.fft.rfft2(blocks, norm="ortho")
+            return jnp.abs(f)
+
+        t_abs = jax.lax.stop_gradient(fft2_abs(t))
+        s_abs = fft2_abs(s)
+        w = bw / jnp.sqrt(jnp.clip(jnp.mean(t_abs ** 2, axis=(0, 1, 2),
+                                            keepdims=True), min=1e-5))
+        w = jax.lax.stop_gradient(w)
+        mse = (s_abs - t_abs) ** 2
+        loss = loss + jnp.mean(mse * w, axis=(1, 2, 3))
+    return loss

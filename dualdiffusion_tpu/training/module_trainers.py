@@ -140,6 +140,7 @@ class DAETrainConfig:
     grad_accum_steps: int = 1
     domain: str = "mel"               # "mel" (p1) | "mdct" (m1)
     use_random_prime_mss: bool = False
+    mss1d_prime_loss_weight: float = 0.0   # m1's prime-width 1D MSS term
     mss2d: L.MSSLoss2DConfig = field(default_factory=L.MSSLoss2DConfig)
 
 
@@ -204,6 +205,17 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
             recon_loss = L.random_prime_mss_2d(k_drop, r_cf, s_cf)
         else:
             recon_loss = mss(r_cf, s_cf)
+        if cfg.mss1d_prime_loss_weight > 0:
+            # prime-width 1D MSS over the width (time) axis: (B, C*H, W)
+            s1 = s_cf.reshape(s_cf.shape[0], -1, s_cf.shape[-1])
+            r1 = r_cf.reshape(r_cf.shape[0], -1, r_cf.shape[-1])
+            # cap block widths at the signal length
+            bws = tuple(b for b, st in zip(L.PRIME_BLOCK_WIDTHS_1D,
+                                           L.PRIME_BLOCK_STEPS_1D)
+                        if b <= s1.shape[-1])
+            sts = L.PRIME_BLOCK_STEPS_1D[:len(bws)]
+            recon_loss = recon_loss + L.prime_mss_1d(
+                r1, s1, bws, sts) * cfg.mss1d_prime_loss_weight
         point_loss = jnp.mean(jnp.abs(recon - samples), axis=(1, 2, 3))
         pl_w = cfg.point_loss_weight * decay(global_step, cfg.point_loss_warmup_steps)
         recon_loss = recon_loss + point_loss * pl_w

@@ -458,3 +458,36 @@ def test_joint_dae_ddec_train_step_smoke(rng):
     old = jax.tree_util.tree_leaves(state.params)
     new = jax.tree_util.tree_leaves(new_state.params)
     assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(old, new))
+
+
+def test_prime_mss_1d_matches_torch_golden(rng):
+    """Golden: prime-width 1D MSS equals the reference math evaluated in
+    torch (flat-top (k+0.5)/n window, ortho rfft2 over (block, width),
+    target-energy bin weighting; reference: dae_trainer_m1.py:136-208)."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.training.losses import prime_mss_1d
+
+    s = rng.standard_normal((2, 2, 2048)).astype("float32")
+    t = rng.standard_normal((2, 2, 2048)).astype("float32")
+    bws, steps = (31, 53), (7, 11)
+
+    pad = bws[-1] // 2
+    sp = torch.nn.functional.pad(torch.from_numpy(s), (pad, pad), mode="reflect")
+    tp = torch.nn.functional.pad(torch.from_numpy(t), (pad, pad), mode="reflect")
+    ref = torch.zeros(2)
+    for bw, step in zip(bws, steps):
+        x = (torch.arange(bw) + 0.5) / bw * 2 * torch.pi
+        w = (0.21557895 - 0.41663158 * torch.cos(x) + 0.277263158 * torch.cos(2 * x)
+             - 0.083578947 * torch.cos(3 * x) + 0.006947368 * torch.cos(4 * x))
+        w = w / w.square().mean().sqrt()
+        tf = torch.fft.rfft2(tp.unfold(2, bw, step) * w, norm="ortho").abs()
+        sf = torch.fft.rfft2(sp.unfold(2, bw, step) * w, norm="ortho").abs()
+        lw = bw / tf.square().mean(dim=(0, 1, 2), keepdim=True).clip(min=1e-5).sqrt()
+        ref = ref + ((sf - tf) ** 2 * lw).mean(dim=(1, 2, 3))
+
+    ours = np.asarray(prime_mss_1d(jnp.asarray(s), jnp.asarray(t), bws, steps))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-3)
+    # zero for identical inputs
+    z = float(prime_mss_1d(jnp.asarray(s), jnp.asarray(s), bws, steps).sum())
+    assert z < 1e-6
