@@ -60,6 +60,7 @@ class ModelServer:
         logger.info("loading pipeline from %s", path)
         self.pipeline = Pipeline.from_pretrained(
             path, **self.state.get("model_load_options", {}))
+        self.model_path = path
         fmt = self.pipeline.format
         self.state["format_config"] = dict(fmt.config.__dict__) if fmt else {}
         labels = sorted({k.rsplit("_", 1)[0]
@@ -134,6 +135,19 @@ class ModelServer:
         }
         self.state["generate_step"] = None
         self.state["generate_latents"] = None
+
+    def cmd_get_inventory(self) -> None:
+        """Checkpoint + EMA inventory per module (the reference UI's Model
+        Explorer data; reference: dual_diffusion_pipeline.py:190-215)."""
+        from ..pipelines import Pipeline
+        inv = {}
+        for name in self.pipeline.modules:
+            inv[name] = {
+                "checkpoints": [p.name for p in
+                                Pipeline.get_checkpoints(self.model_path, name)],
+                "emas": Pipeline.get_available_emas(self.model_path, name),
+            }
+        self.state["inventory"] = inv
 
     def cmd_get_module_state_dict(self) -> None:
         from ..pipelines.pipeline import _flatten

@@ -187,6 +187,13 @@ def _make_handler(ui: UIState):
                     return
                 img = tensor_to_img(np.asarray(lat)[0].mean(axis=-1))
                 self._send(_png_bytes(img), "image/png")
+            elif self.path == "/api/inventory":
+                s["cmd"] = "get_inventory"
+                for _ in range(100):
+                    if s.get("cmd") is None:
+                        break
+                    time.sleep(0.1)
+                self._json(dict(s.get("inventory") or {}))
             elif self.path == "/api/outputs":
                 self._json([{"id": i, "seed": o["seed"]}
                             for i, o in enumerate(ui.outputs)])
@@ -218,6 +225,7 @@ def _make_handler(ui: UIState):
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
+            # (model reload with checkpoint/EMA selection handled below)
             body = self.rfile.read(length).decode() if length else "{}"
             s = ui.server_state
             if self.path == "/api/generate":
@@ -237,6 +245,26 @@ def _make_handler(ui: UIState):
                 s["generate_abort"] = True
                 ui.log("abort requested")
                 self._json({"ok": True})
+            elif self.path == "/api/load_model":
+                # model settings: reload with checkpoint / per-module EMA
+                # selection (the reference UI's Model Settings tab)
+                if ui.busy:
+                    self._json({"error": "busy"}, 409)
+                    return
+                opts = json.loads(body)
+                s["model_load_options"] = {
+                    "load_checkpoints": bool(opts.get("load_checkpoints",
+                                                      False)),
+                    "load_emas": opts.get("load_emas") or {},
+                }
+                s["cmd"] = "load_model"
+                for _ in range(600):
+                    if s.get("cmd") is None:
+                        break
+                    time.sleep(0.5)
+                err = s.get("error")
+                ui.log(f"model reloaded ({opts})" if not err else err)
+                self._json({"ok": err is None, "error": err})
             elif self.path.startswith("/api/presets/"):
                 name = self.path.rsplit("/", 1)[1]
                 ui.presets_path.mkdir(parents=True, exist_ok=True)
