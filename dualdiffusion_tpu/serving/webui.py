@@ -55,6 +55,11 @@ fgla iters <input id="fgla" type="number" value="200" style="width:5em">
 <select id="presets"></select>
 <button onclick="loadPreset()">load</button>
 <input id="presetname" placeholder="name"><button onclick="savePreset()">save</button></fieldset>
+<fieldset><legend>Model</legend>
+<div id="inventory" style="font-family:monospace;font-size:.85em"></div>
+<label><input id="loadckpt" type="checkbox"> load latest checkpoints</label>
+ema <input id="emaname" placeholder="e.g. dae:std0.05" style="width:12em">
+<button onclick="reloadModel()">reload model</button></fieldset>
 <button onclick="generate()">Generate</button>
 <button class="warn" onclick="abortGen()">Abort</button>
 <div><progress id="prog" value="0" max="100"></progress><span id="status"></span></div>
@@ -105,6 +110,22 @@ async function refreshOutputs(){
     <audio controls src="/api/output/${o.id}/audio.wav"></audio>
     <img class="spec" src="/api/output/${o.id}/spec.png"></div>`; });
 }
+async function refreshInventory(){
+  const inv = await (await fetch('/api/inventory')).json();
+  let h='';
+  for (const [m, v] of Object.entries(inv))
+    h += `${m}: ckpts [${v.checkpoints.join(', ')}] emas [${v.emas.join(', ')}]\n`;
+  document.getElementById('inventory').textContent = h;
+}
+async function reloadModel(){
+  const emas = {};
+  const e = document.getElementById('emaname').value;
+  if (e && e.includes(':')){ const [m,n]=e.split(':'); emas[m]=n; }
+  const r = await (await fetch('/api/load_model',{method:'POST',
+    body:JSON.stringify({load_checkpoints:document.getElementById('loadckpt').checked,
+                         load_emas:emas})})).json();
+  document.getElementById('status').textContent = r.ok?'model reloaded':(r.error||'reload failed');
+}
 async function refreshPresets(){
   const ps = await (await fetch('/api/presets')).json();
   const s = document.getElementById('presets'); s.innerHTML='';
@@ -125,7 +146,7 @@ async function savePreset(){
 (async ()=>{
   const info = await (await fetch('/api/info')).json();
   (info.prompt_labels||[]).slice(0,0).forEach(l=>{});
-  refreshPresets(); refreshOutputs(); poll();
+  refreshPresets(); refreshOutputs(); refreshInventory(); poll();
 })();
 </script></body></html>
 """
