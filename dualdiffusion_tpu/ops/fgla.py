@@ -82,23 +82,28 @@ def griffinlim(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
 
     wd = jnp.dtype(work_dtype)
 
+    spec_w = spec.astype(wd)
+    merged_w = merged.astype(wd)
+    mom_w = jnp.asarray(mom, wd)
+
     def body(i, carry):
+        # the WHOLE iteration runs in the work dtype — transforms AND the
+        # elementwise chain (each fp32 pass over the (B,C,frames,bins)
+        # spectra costs ~140 MB of HBM at the flagship size); the loop is
+        # self-correcting, and the final istft below stays fp32
         ang_r, ang_i, prev_r, prev_i = carry
-        t = i.astype(jnp.float32) / n_iter - stereo_coherence
-        interp = jnp.where(t > 0.0, merged + (spec - merged) * t, merged)
-        x_r = (ang_r.astype(jnp.float32)) * interp
-        x_i = (ang_i.astype(jnp.float32)) * interp
-        # pair-based transforms: no complex64 pack/unpack passes in the
-        # loop; in bf16 work-dtype the whole istft->stft roundtrip (frames
-        # included — the 25x-redundant big tensors) runs bf16
-        inverse = istft_pair_fn(x_r.astype(wd), x_i.astype(wd))
+        t = (i.astype(jnp.float32) / n_iter - stereo_coherence).astype(wd)
+        interp = jnp.where(t > 0, merged_w + (spec_w - merged_w) * t, merged_w)
+        x_r = ang_r * interp
+        x_i = ang_i * interp
+        inverse = istft_pair_fn(x_r, x_i)
         rr, ri = stft_pair_fn(inverse)
-        rr, ri = rr.astype(jnp.float32), ri.astype(jnp.float32)
-        nr = rr - mom * prev_r.astype(jnp.float32)
-        ni = ri - mom * prev_i.astype(jnp.float32)
-        mag = jnp.sqrt(nr * nr + ni * ni) + 1e-16
-        return ((nr / mag).astype(wd), (ni / mag).astype(wd),
-                rr.astype(wd), ri.astype(wd))
+        # small-n FFT paths compute fp32 regardless of input dtype
+        rr, ri = rr.astype(wd), ri.astype(wd)
+        nr = rr - mom_w * prev_r
+        ni = ri - mom_w * prev_i
+        mag = jnp.sqrt(nr * nr + ni * ni) + jnp.asarray(1e-12, wd)
+        return (nr / mag, ni / mag, rr, ri)
 
     init = (ang_r.astype(wd), ang_i.astype(wd),
             jnp.zeros_like(ang_r, wd), jnp.zeros_like(ang_i, wd))
