@@ -24,7 +24,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("process", choices=["import", "normalize", "encode",
                                         "label", "dedupe", "build_splits",
-                                        "build_emb_db", "integrity_check"])
+                                        "build_emb_db",
+                                        "aggregate_embeddings",
+                                        "integrity_check"])
+    ap.add_argument("--copy_to_model_path", default=None,
+                    help="for aggregate_embeddings: also copy the table "
+                         "into this model dir so the pipeline picks it up")
     ap.add_argument("--dataset_path", required=True)
     ap.add_argument("--input", default=None, help="input path override")
     ap.add_argument("--model_path", default=None, help="for encode")
@@ -89,6 +94,21 @@ def main():
             out["results"],
             f"{args.dataset_path}/dataset_infos/audio_emb_db.safetensors")
         print(f"wrote {len(out['results'])} embeddings to audio_emb_db")
+    elif args.process == "aggregate_embeddings":
+        out = proc.process("AggregateEmbeddings",
+                           [P.AggregateEmbeddingsStage()],
+                           input=scan, input_extensions=P.AUDIO_EXTS,
+                           collect_results=True)
+        import os
+        import shutil
+        os.makedirs(f"{args.dataset_path}/dataset_infos", exist_ok=True)
+        db = f"{args.dataset_path}/dataset_infos/dataset_embeddings.safetensors"
+        P.AggregateEmbeddingsStage.write_db(out["results"], db)
+        print(f"aggregated {len(out['results'])} samples into {db}")
+        if args.copy_to_model_path:
+            dst = f"{args.copy_to_model_path}/dataset_embeddings.safetensors"
+            shutil.copy2(db, dst)
+            print(f"copied to {dst}")
     elif args.process == "integrity_check":
         out = proc.process("IntegrityCheck", [P.IntegrityCheckStage()],
                            input=scan, input_extensions=P.AUDIO_EXTS)

@@ -25,7 +25,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -137,8 +137,9 @@ class NormalizeStage(DatasetProcessStage):
 class EncodeConfig:
     model_path: str = ""
     num_time_offset_augmentations: int = 4
-    num_pitch_shift_augmentations: int = 0
-    pitch_shift_cents: float = 50.0
+    # pitch offsets (semitones): each builds a frequency-shifted format
+    # (reference: processes/encode.py:223-227, 267-270)
+    pitch_shift_augmentations: Tuple[int, ...] = ()
     stereo_mirror_augmentation: bool = True
     max_chunk: int = 6144
     overlap: int = 256
@@ -184,25 +185,50 @@ class EncodeStage(DatasetProcessStage):
         self.dae_h = self.pipeline.modules.get("dae")
         self.fmt = self.pipeline.format
 
-        # one jitted graph: audio batch -> mel -> (tiled) latents. Eager
-        # per-op dispatch is pathological on a remote-tunneled TPU.
-        def encode_batch(audio):
-            import jax.numpy as jnp
-            mel = self.fmt.raw_to_mel_spec(audio.astype(jnp.float32))
-            if self.dae_h is None:
-                return mel
-            ds = self.dae_h.module.downsample_ratio
-            mel = mel[:, :, : mel.shape[2] // ds * ds]
-            from ..models.dae import tiled_encode
-            return tiled_encode(
-                lambda v, x, e: self.dae_h.module.apply(v, x, e,
-                                                        method=DAE.encode),
-                self.dae_h.variables, mel, None,
-                self.dae_h.module.downsample_ratio,
-                self.dae_h.config.latent_channels,
-                max_chunk=self.enc.max_chunk, overlap=self.enc.overlap)
+        # pitch-shift augmentation formats: mel filterbanks scaled by
+        # 2**(semitones/12) (reference: encode.py:223-227, 267-270)
+        import dataclasses as _dc
+        encode_fmts = [self.fmt]
+        for shift in self.enc.pitch_shift_augmentations:
+            rate = 2.0 ** (shift / 12.0)
+            fcfg = self.fmt.config
+            if hasattr(fcfg, "ms_freq_min"):
+                shifted = _dc.replace(
+                    fcfg, ms_freq_min=fcfg.ms_freq_min * rate,
+                    ms_freq_max_override=fcfg.ms_freq_max * rate)
+            elif hasattr(fcfg, "min_frequency"):
+                shifted = _dc.replace(
+                    fcfg, min_frequency=fcfg.min_frequency * rate,
+                    max_frequency=fcfg.max_frequency * rate)
+            else:
+                raise ValueError(
+                    f"format {type(self.fmt).__name__} does not support "
+                    "pitch-shift augmentation")
+            encode_fmts.append(type(self.fmt)(shifted))
 
-        self._encode_batch = jax.jit(encode_batch)
+        # one jitted graph per format: audio batch -> mel -> (tiled)
+        # latents. Eager per-op dispatch is pathological on a
+        # remote-tunneled TPU.
+        def make_encode(fmt):
+            def encode_batch(audio):
+                import jax.numpy as jnp
+                mel = fmt.raw_to_mel_spec(audio.astype(jnp.float32))
+                if self.dae_h is None:
+                    return mel
+                ds = self.dae_h.module.downsample_ratio
+                mel = mel[:, :, : mel.shape[2] // ds * ds]
+                from ..models.dae import tiled_encode
+                return tiled_encode(
+                    lambda v, x, e: self.dae_h.module.apply(
+                        v, x, e, method=DAE.encode),
+                    self.dae_h.variables, mel, None,
+                    self.dae_h.module.downsample_ratio,
+                    self.dae_h.config.latent_channels,
+                    max_chunk=self.enc.max_chunk, overlap=self.enc.overlap)
+            return jax.jit(encode_batch)
+
+        self._encode_fns = [make_encode(f) for f in encode_fmts]
+        self._encode_batch = self._encode_fns[0]
         self.clap = None
         if self.enc.encode_embeddings:
             try:
@@ -234,8 +260,10 @@ class EncodeStage(DatasetProcessStage):
     def process(self, item: Dict[str, Any]):
         audio, sr = item["audio"], item["sample_rate"]
         augs = self._augmentations(audio, sr)            # (V, C, T')
-        lat = self._encode_batch(augs)                   # (V, H, W, C)
-        latents = np.asarray(lat, np.float16)
+        # base format + one frequency-shifted format per pitch offset
+        lat = np.concatenate([np.asarray(fn(augs), np.float16)
+                              for fn in self._encode_fns], axis=0)
+        latents = lat                                    # (V*, H, W, C)
         # store reference layout (V, C, H, W) for time-axis slicing
         latents = np.transpose(latents, (0, 3, 1, 2))
 
@@ -430,6 +458,63 @@ class BuildEmbDBStage(DatasetProcessStage):
     def write_db(entries: List[Dict[str, Any]], db_path: str) -> None:
         save_safetensors({e["file"]: e["embedding"].astype(np.float16)
                           for e in entries}, db_path)
+
+
+class AggregateEmbeddingsStage(DatasetProcessStage):
+    """Aggregate per-label mean audio/text CLAP embeddings plus the
+    dataset-wide ``_unconditional_audio`` / ``_unconditional_text`` means
+    into ``dataset_embeddings.safetensors`` — the table
+    ``Pipeline.get_prompt_embedding`` consumes for prompting and the CFG
+    unconditional embedding (reference: src/dataset/dataset_processor.py
+    aggregation block ~:800-832, consumed at
+    dual_diffusion_pipeline.py:399-420).
+
+    The label is the sidecar ``label`` field, falling back to the audio
+    file's parent directory name (the reference's per-game folders)."""
+    stage_type = "io"
+
+    def start_process(self, config, worker_index):
+        self.config = config
+
+    def process(self, item: str):
+        meta = read_sidecar(item)
+        lat_file = meta.get("latents_file_name")
+        if not lat_file or not Path(lat_file).is_file():
+            return None
+        tensors = load_safetensors(lat_file)
+        out: Dict[str, Any] = {
+            "label": meta.get("label") or Path(item).parent.name}
+        if "clap_audio_embeddings" in tensors:
+            out["audio"] = np.asarray(tensors["clap_audio_embeddings"],
+                                      np.float64).mean(axis=0)
+        if "clap_text_embeddings" in tensors:
+            out["text"] = np.asarray(tensors["clap_text_embeddings"],
+                                     np.float64).mean(axis=0)
+        return out if len(out) > 1 else None
+
+    @staticmethod
+    def write_db(entries: List[Dict[str, Any]], db_path: str) -> None:
+        """Mean per label + dataset mean, all normalized to unit norm
+        (matching the reference's normalize() of each aggregate)."""
+        sums: Dict[str, np.ndarray] = {}
+        counts: Dict[str, int] = {}
+
+        def add(key: str, v: np.ndarray) -> None:
+            sums[key] = sums.get(key, 0.0) + v
+            counts[key] = counts.get(key, 0) + 1
+
+        for e in entries:
+            if e.get("audio") is not None:
+                add("_unconditional_audio", e["audio"])
+                add(f"{e['label']}_audio", e["audio"])
+            if e.get("text") is not None:
+                add("_unconditional_text", e["text"])
+                add(f"{e['label']}_text", e["text"])
+        table = {}
+        for k, s in sums.items():
+            mean = s / counts[k]
+            table[k] = (mean / (np.linalg.norm(mean) + 1e-12)).astype(np.float32)
+        save_safetensors(table, db_path)
 
 
 class IntegrityCheckStage(DatasetProcessStage):

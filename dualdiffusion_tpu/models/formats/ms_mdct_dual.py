@@ -51,6 +51,7 @@ class MSMDCTDualFormatConfig(FormatConfig):
     mel_spec_to_linear_offset: float = 0.0
     ms_abs_exponent: float = 0.25
     ms_freq_min: float = 0.0
+    ms_freq_max_override: Optional[float] = None  # pitch-shift augmentation
     ms_num_filters: int = 256
     ms_ideal_num_filter_bins: float = 3.0
     ms_window_length: int = 4096
@@ -79,7 +80,7 @@ class MSMDCTDualFormatConfig(FormatConfig):
 
     @property
     def ms_freq_max(self) -> float:
-        return self.sample_rate / 2
+        return self.ms_freq_max_override or self.sample_rate / 2
 
 
 _MDCT_WINDOW_MAP = {"sin": "sin_mdct", "kaiser_bessel_derived": "kbd_mdct",
@@ -112,9 +113,12 @@ class MSMDCTDualFormat(Format):
         num_filter_bins = bandwidths / cfg.sample_rate * cfg.ms_num_stft_bins * 2
         ideal_widths = cfg.ms_ideal_num_filter_bins / num_filter_bins * cfg.ms_window_length
 
-        # filters RMS-normalized per filter (reference :136-138)
+        # filters RMS-normalized per filter (reference :136-138); filters
+        # shifted entirely past Nyquist (pitch-shift augmentation) are empty
+        # — leave them zero instead of dividing by zero
         filters = self.ms_freq_scale.filters.astype(np.float64)
-        filters = filters / np.sqrt((filters ** 2).mean(axis=0, keepdims=True))
+        rms = np.sqrt((filters ** 2).mean(axis=0, keepdims=True))
+        filters = filters / np.maximum(rms, 1e-12)
         self.ms_filters = filters.astype(np.float32)
         # pinv of the RMS-normalized filterbank for mel_spec_to_linear
         self._filters_pinv = np.linalg.pinv(filters.T, rcond=1e-10).astype(np.float32)
@@ -156,6 +160,20 @@ class MSMDCTDualFormat(Format):
         w = self.get_raw_crop_width(raw_length)
         n_bins = self.config.mdct_num_frequencies
         return (bsz, n_bins, w // n_bins + 1, self.config.num_raw_channels)
+
+    def get_mdct_shape_for_mel_frames(self, bsz: int,
+                                      n_mel_frames: int) -> Tuple[int, ...]:
+        """MDCT sample shape aligned 1:1 with a mel spec of ``n_mel_frames``
+        frames. The mel hop and the MDCT frame hop are the same 256 samples
+        by construction (``ms_hop_length == mdct_frame_hop_length``), so the
+        two grids agree frame-for-frame — this is the format-derived
+        alignment the DDEC conditioning relies on
+        (reference: ms_mdct_dual_2.py:180-248 width alignment math)."""
+        cfg = self.config
+        assert cfg.ms_hop_length == cfg.mdct_frame_hop_length, (
+            "mel and MDCT hops must match for DDEC conditioning alignment")
+        return (bsz, cfg.mdct_num_frequencies, n_mel_frames,
+                cfg.num_raw_channels)
 
     def get_sample_shape(self, bsz: int = 1, raw_length: Optional[int] = None) -> Tuple[int, ...]:
         return self.get_mel_spec_shape(bsz, raw_length)

@@ -278,12 +278,43 @@ class Pipeline:
                          x_ref: Optional[jnp.ndarray] = None,
                          module_name: str = "unet",
                          init_sample: Optional[jnp.ndarray] = None,
+                         inpainting_mask: Optional[jnp.ndarray] = None,
                          chunk_size=None, chunk_callback=None):
         """Latent (or conditioned) EDM sampling with the named UNet module
-        (reference: dual_diffusion_pipeline.py:589-752)."""
+        (reference: dual_diffusion_pipeline.py:589-752).
+
+        inpainting_mask: (B, H, W, 1) (or broadcastable), 1 = generate,
+        0 = keep from ``init_sample``. When given, the dedicated
+        ``unet_inpainting`` module is substituted if present
+        (reference :356-360) and the reference+mask channels are
+        concatenated per step (reference :440-447).
+        """
         from ..sampling import edm_sample
+        if (inpainting_mask is not None and module_name == "unet"
+                and "unet_inpainting" in self.modules):
+            module_name = "unet_inpainting"
         h = self.modules[module_name]
         unet, uvars, ucfg = h.module, h.variables, h.config
+
+        # inpainting / img2img reference channels: the converted inpainting
+        # unet expects out_channels reference + 1 mask extra in-channels
+        extra_in = ucfg.in_channels - ucfg.out_channels
+        if extra_in > 0 and ucfg.in_psd_freqs == 0 and x_ref is None:
+            base_shape = sample_shape or (
+                tuple(init_sample.shape) if init_sample is not None else None)
+            assert base_shape is not None, \
+                "sample_shape or init_sample required for inpainting ref"
+            base = (init_sample.astype(jnp.float32) if init_sample is not None
+                    else jnp.zeros(base_shape, jnp.float32))
+            if inpainting_mask is not None:
+                mask = (inpainting_mask > 0.5).astype(jnp.float32)
+                mask = jnp.broadcast_to(mask, base.shape[:-1] + (1,))
+            else:
+                # no mask: generate everything (reference :444-447)
+                mask = jnp.ones(base.shape[:-1] + (1,), jnp.float32)
+                base = jnp.zeros_like(base)
+            x_ref = jnp.concatenate([base * (1.0 - mask), mask], axis=-1)
+            sample_shape = tuple(base_shape)
 
         if audio_embedding is not None and ucfg.in_channels_emb > 0:
             from ..models.unet import UNet as _U
@@ -318,37 +349,95 @@ class Pipeline:
                           params.sigma_max or ucfg.sigma_max,
                           params.sigma_min or ucfg.sigma_min,
                           params.sigma_data or ucfg.sigma_data,
-                          key, init_sample=init_sample, use_cfg=use_cfg)
+                          key, init_sample=init_sample, use_cfg=use_cfg,
+                          chunk_size=chunk_size, chunk_callback=chunk_callback)
+
+    def encode_input_audio(self, input_audio, length: Optional[int] = None):
+        """Prepare raw input audio for img2img / inpainting: crop/pad to the
+        format's raw crop width, format-encode, and DAE-encode when a DAE is
+        present (reference: dual_diffusion_pipeline.py:427-438).
+
+        input_audio: (C, T) or (B, C, T). Returns the init sample in the
+        diffusion space (latents if a DAE exists, else the format sample).
+        """
+        fmt = self.format
+        audio = jnp.asarray(input_audio, jnp.float32)
+        if audio.ndim == 2:
+            audio = audio[None]
+        want = fmt.get_raw_crop_width(length)
+        t = audio.shape[-1]
+        if t < want:
+            audio = jnp.pad(audio, [(0, 0), (0, 0), (0, want - t)])
+        else:
+            audio = audio[..., :want]
+        sample = fmt.raw_to_sample(audio)
+        dae_h = self.modules.get("dae")
+        if dae_h is not None:
+            from ..models.dae import DAE as _DAE
+            ds = dae_h.module.downsample_ratio
+            sample = sample[:, :, : sample.shape[2] // ds * ds]
+            sample = dae_h.module.apply(dae_h.variables, sample,
+                                        method=_DAE.encode)
+        return sample.astype(jnp.float32)
 
     def generate(self, params, key: jax.Array,
                  prompt_embedding: Optional[jnp.ndarray] = None,
-                 decode_mode: str = "auto"):
+                 decode_mode: str = "auto",
+                 input_audio=None,
+                 input_latents: Optional[jnp.ndarray] = None,
+                 inpainting_mask: Optional[jnp.ndarray] = None,
+                 chunk_size=None, chunk_callback=None):
         """Full generation: latent sampling -> DAE decode -> audio.
 
         decode_mode: "fgla" (mel unscale + FGLA), "ddec" (diffusion decoder
         on MDCT), or "auto" (ddec if present else fgla).
+
+        img2img: pass ``input_audio`` (raw (C,T)/(B,C,T)) or pre-encoded
+        ``input_latents``; ``params.img2img_strength`` controls how much of
+        the schedule runs. ``inpainting_mask`` (1 = generate, 0 = keep) adds
+        the reference+mask channels and substitutes ``unet_inpainting`` when
+        available; inpainting always runs the full schedule.
+
         Returns dict(raw, sample/mel, latents, debug).
         """
+        import dataclasses as _dc
         fmt = self.format
         assert fmt is not None, "pipeline has no format module"
         k1, k2, k3 = jax.random.split(key, 3)
+
+        init = input_latents
+        if init is None and input_audio is not None:
+            init = self.encode_input_audio(input_audio, params.length)
+        if init is not None and init.shape[0] < params.batch_size:
+            init = jnp.broadcast_to(init, (params.batch_size,) + init.shape[1:])
+        sample_params = params
+        if inpainting_mask is not None:
+            sample_params = _dc.replace(params, img2img_strength=1.0)
 
         dae_h = self.modules.get("dae")
         if dae_h is not None:
             from ..models.dae import DAE as _DAE
             mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
-            lat_shape = dae_h.module.apply(dae_h.variables, mel_shape,
-                                           method=_DAE.get_latent_shape)
+            lat_shape = tuple(dae_h.module.apply(dae_h.variables, mel_shape,
+                                                 method=_DAE.get_latent_shape))
+            if init is not None:
+                assert tuple(init.shape[1:]) == lat_shape[1:], (
+                    f"init sample shape {tuple(init.shape)} does not match "
+                    f"latent shape {lat_shape}")
             latents, debug = self.diffusion_decode(
-                params, k1, sample_shape=tuple(lat_shape),
-                audio_embedding=prompt_embedding)
+                sample_params, k1, sample_shape=lat_shape,
+                audio_embedding=prompt_embedding, init_sample=init,
+                inpainting_mask=inpainting_mask,
+                chunk_size=chunk_size, chunk_callback=chunk_callback)
             mel = dae_h.module.apply(dae_h.variables, latents,
                                      method=_DAE.decode).astype(jnp.float32)
         else:
             mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
             mel, debug = self.diffusion_decode(
-                params, k1, sample_shape=tuple(mel_shape),
-                audio_embedding=prompt_embedding)
+                sample_params, k1, sample_shape=tuple(mel_shape),
+                audio_embedding=prompt_embedding, init_sample=init,
+                inpainting_mask=inpainting_mask,
+                chunk_size=chunk_size, chunk_callback=chunk_callback)
             latents = None
 
         if decode_mode == "auto":
@@ -359,12 +448,13 @@ class Pipeline:
             assert isinstance(fmt, MSMDCTDualFormat), \
                 "ddec decode requires the ms_mdct_dual format"
             lin = fmt.mel_spec_to_linear(mel)
-            mdct_shape = fmt.get_mdct_shape(params.batch_size, params.length)
-            w = min(lin.shape[2], mdct_shape[2])
+            # the mel and MDCT frame grids share the same hop by construction
+            # (format guarantee), so the conditioning width IS the MDCT width
+            mdct_shape = fmt.get_mdct_shape_for_mel_frames(
+                params.batch_size, lin.shape[2])
             coeffs, ddbg = self.diffusion_decode(
-                params, k2, sample_shape=(mdct_shape[0], mdct_shape[1], w,
-                                          mdct_shape[3]),
-                x_ref=lin[:, :, :w], module_name="ddec")
+                params, k2, sample_shape=mdct_shape,
+                x_ref=lin, module_name="ddec")
             raw = fmt.mdct_to_raw(coeffs)
             debug["ddec"] = ddbg
         elif hasattr(fmt, "sample_to_raw_fgla"):

@@ -148,7 +148,17 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         init_scale = float(np.sqrt(sched[0] ** 2 + sigma_data ** 2))
     else:
         init_scale = float(sched[0])
+    skip_steps = 0
     if init_sample is not None:
+        # img2img: enter the schedule mid-way — skip (1 - strength) of the
+        # steps and noise the init sample to the entry sigma. strength=1 is
+        # the reference __call__ init (noise*sigma_max + input*sigma_data,
+        # dual_diffusion_pipeline.py:464-465); strength->0 reproduces the
+        # input (only the final sigma_min-scale noise is added).
+        strength = float(np.clip(params.img2img_strength, 0.0, 1.0))
+        skip_steps = params.steps - int(round(params.steps * strength))
+        if skip_steps > 0:
+            init_scale = float(sched[skip_steps])
         sample = noise * init_scale + init_sample.astype(jnp.float32) * sigma_data
     else:
         sample = noise * init_scale
@@ -205,15 +215,19 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
 
     xs = (consts["sigma_curr"], consts["sigma_next"], consts["t_lerp"],
           consts["sigma_hat"], consts["t_hat"], consts["readd"], consts["renorm"])
-    if chunk_size is None or chunk_size >= params.steps:
+    xs = tuple(x[skip_steps:] for x in xs)
+    run_steps = params.steps - skip_steps
+    if run_steps == 0:
+        dbg = {}
+    elif chunk_size is None or chunk_size >= run_steps:
         (sample, _), dbg = jax.lax.scan(step, (sample, key), xs)
     else:
         run_chunk = jax.jit(lambda carry, xs_c: jax.lax.scan(step, carry, xs_c))
         carry = (sample, key)
         dbg_parts = []
         done = 0
-        while done < params.steps:
-            n = min(chunk_size, params.steps - done)
+        while done < run_steps:
+            n = min(chunk_size, run_steps - done)
             xs_c = tuple(x[done:done + n] for x in xs)
             carry, d = run_chunk(carry, xs_c)
             dbg_parts.append(d)

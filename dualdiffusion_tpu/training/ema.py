@@ -27,7 +27,12 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
-# NVIDIA EDM2 power-function EMA math (Karras et al. 2024, eqs. 121-151)
+# NVIDIA EDM2 power-function EMA math. The std<->exponent conversion, the
+# per-step beta, the profile cross-correlation, and the post-hoc mixing
+# solver below transcribe Algorithms 2/3 and eqs. 121-151 of Karras et al.,
+# "Analyzing and Improving the Training Dynamics of Diffusion Models"
+# (arXiv:2312.02696), as published in NVIDIA's EDM2 reference code
+# (NVlabs/edm2, training/phema.py) — the math has one canonical form.
 # ---------------------------------------------------------------------------
 
 def exp_to_std(exp) -> np.ndarray:

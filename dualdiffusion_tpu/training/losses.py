@@ -218,48 +218,80 @@ PRIME_BLOCKS = (9, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
                 193, 197, 199, 211, 223, 227, 229, 233, 239, 241, 251)
 
 
+def _flat_top_window_rect(bh: int, bw: int) -> np.ndarray:
+    xh = np.arange(bh) / bh * 2 * np.pi
+    xw = np.arange(bw) / bw * 2 * np.pi
+    w = _flat_top(xh)[:, None] * _flat_top(xw)[None, :]
+    return (w / np.sqrt((w ** 2).mean())).astype(np.float32)
+
+
+def _draw_prime_sizes(rng: np.random.Generator, n: int,
+                      max_h: int, max_w: int) -> list:
+    """Draw n rectangular (bh, bw) prime block sizes with ln-linear weights
+    (reference: dae_p1_trainer.py:179-194 draws width and height
+    independently per step with random transpose order — rectangular draws
+    cover both orders)."""
+    blocks = np.asarray(PRIME_BLOCKS)
+    ln_w = 1.0 / np.log(blocks)
+    p = ln_w / ln_w.sum()
+    bh = np.minimum(rng.choice(blocks, size=n, p=p), max_h)
+    bw = np.minimum(rng.choice(blocks, size=n, p=p), max_w)
+    return [(int(h), int(w)) for h, w in zip(bh, bw)]
+
+
 def random_prime_mss_2d(key: jax.Array, sample: jnp.ndarray, target: jnp.ndarray,
                         num_iterations: int = 16,
-                        use_midside: bool = True) -> jnp.ndarray:
+                        use_midside: bool = True,
+                        seed: int = 0,
+                        num_size_sets: int = 4) -> jnp.ndarray:
     """Randomized-prime-block 2D MSS (reference: dae_p1_trainer.py:85-213):
-    each iteration draws a prime block size (ln-linear weighted), random
-    offsets and mid/side flag, computes a flat-top-windowed rfft2 of ONE
-    block position grid, and accumulates target-energy-normalized MSE.
+    each iteration draws a rectangular prime block size (ln-linear weighted),
+    random offsets and a random mid/side flag, computes a flat-top-windowed
+    rfft2 of ONE block position, and accumulates target-energy-normalized MSE.
 
-    Trace-time randomness note: the block sizes must be static for XLA, so
-    they are drawn host-side per call site via numpy seeded from the fold of
-    ``key`` when traced outside jit; under jit pass ``num_iterations``
-    pre-drawn sizes via functools.partial closure (sizes fixed per compile,
-    offsets remain traced).
+    Trace-time randomness: block shapes must be static for XLA, so
+    ``num_size_sets`` independent size lists are pre-drawn host-side from
+    ``seed``; each call selects one set with the traced ``key`` via
+    ``lax.switch``, so block sizes genuinely vary step to step under a single
+    compile. Offsets and the mid/side flag stay fully traced.
     """
-    sizes_rng = np.random.default_rng(0)
-    ln_w = 1.0 / np.log(np.asarray(PRIME_BLOCKS))
-    p = ln_w / ln_w.sum()
-    sizes = sizes_rng.choice(PRIME_BLOCKS, size=num_iterations, p=p)
-    keys = jax.random.split(key, num_iterations)
-    loss = jnp.zeros((target.shape[0],), jnp.float32)
-    for i, bw in enumerate(sizes):
-        bw = int(min(bw, min(target.shape[-2:], default=bw)))
-        k_off, k_ms = jax.random.split(keys[i])
-        h, w = target.shape[-2], target.shape[-1]
-        oh = jax.random.randint(k_off, (), 0, max(h - bw, 1))
-        ow = jax.random.randint(jax.random.fold_in(k_off, 1), (), 0, max(w - bw, 1))
-        win = jnp.asarray(_window_2d("flat_top", bw))
+    h, w = target.shape[-2], target.shape[-1]
+    rng = np.random.default_rng(seed)
+    size_sets = [_draw_prime_sizes(rng, num_iterations, h, w)
+                 for _ in range(max(num_size_sets, 1))]
+    k_set, k_iter = jax.random.split(key)
 
-        def spec(x):
-            xs = jax.lax.dynamic_slice(
-                x, (0, 0, oh, ow), (x.shape[0], x.shape[1], bw, bw))
-            if use_midside:
-                xs = mp.midside_transform(xs, channel_axis=1)
-            return jnp.fft.rfft2(xs * win, norm="ortho")
+    def one_set(sizes, keys):
+        loss = jnp.zeros((target.shape[0],), jnp.float32)
+        for i, (bh, bw) in enumerate(sizes):
+            k_off, k_ms = jax.random.split(keys[i])
+            oh = jax.random.randint(k_off, (), 0, max(h - bh, 0) + 1)
+            ow = jax.random.randint(jax.random.fold_in(k_off, 1), (), 0,
+                                    max(w - bw, 0) + 1)
+            win = jnp.asarray(_flat_top_window_rect(bh, bw))
+            ms_flag = use_midside & jax.random.bernoulli(k_ms)
 
-        t_fft = jax.lax.stop_gradient(spec(target))
-        s_fft = spec(sample)
-        t_energy = jax.lax.stop_gradient(
-            jnp.mean(jnp.abs(t_fft) ** 2, axis=(1, 2, 3), keepdims=False) + 1e-8)
-        err = jnp.mean(jnp.abs(s_fft - t_fft) ** 2, axis=(1, 2, 3))
-        loss = loss + err / t_energy
-    return loss / num_iterations
+            def spec(x):
+                xs = jax.lax.dynamic_slice(
+                    x, (0, 0, oh, ow), (x.shape[0], x.shape[1], bh, bw))
+                ms = mp.midside_transform(xs, channel_axis=1)
+                xs = jnp.where(ms_flag, ms, xs)
+                return jnp.fft.rfft2(xs * win, norm="ortho")
+
+            t_fft = jax.lax.stop_gradient(spec(target))
+            s_fft = spec(sample)
+            t_energy = jax.lax.stop_gradient(
+                jnp.mean(jnp.abs(t_fft) ** 2, axis=(1, 2, 3)) + 1e-8)
+            err = jnp.mean(jnp.abs(s_fft - t_fft) ** 2, axis=(1, 2, 3))
+            loss = loss + err / t_energy
+        return loss / num_iterations
+
+    keys = jax.random.split(k_iter, num_iterations)
+    branches = [functools.partial(one_set, s) for s in size_sets]
+    if len(branches) == 1:
+        return branches[0](keys)
+    idx = jax.random.randint(k_set, (), 0, len(branches))
+    return jax.lax.switch(idx, branches, keys)
 
 
 # ---------------------------------------------------------------------------
@@ -335,27 +367,6 @@ def dog_loss_2d(sample: jnp.ndarray, target: jnp.ndarray,
     for i, l in enumerate(losses):
         total = total + l / jnp.exp(logvars[i]) + logvars[i]
     return total
-
-
-def equivariance_loss(encode_fn, mel_spec: jnp.ndarray, latents: jnp.ndarray,
-                      key: jax.Array, downsample_ratio: int,
-                      max_shift: int = 8) -> jnp.ndarray:
-    """Latent shift-equivariance (reference: equivariance.py:63-101):
-    randomly crop the mel spec by <= max_shift columns, re-encode, and L1-
-    compare with the matching crop of the filtered-upsampled latents after
-    filtered downsampling. Channel-last (B, H, W, C)."""
-    from ..models.layers import filtered_upsample_2d, filtered_downsample_2d
-    shift = jax.random.randint(key, (), 1, max_shift + 1)
-    w = mel_spec.shape[2]
-    mel_crop = jax.lax.dynamic_slice_in_dim(mel_spec, shift, w - max_shift, axis=2)
-    lat_crop = encode_fn(mel_crop)
-    up = filtered_upsample_2d(latents, factor=downsample_ratio)
-    up_crop = jax.lax.dynamic_slice_in_dim(
-        up, shift, (w - max_shift) // downsample_ratio * downsample_ratio, axis=2)
-    ref = filtered_downsample_2d(up_crop, factor=downsample_ratio)
-    n = min(ref.shape[2], lat_crop.shape[2])
-    return jnp.mean(jnp.abs(ref[:, :, :n] - lat_crop[:, :, :n]),
-                    axis=(1, 2, 3))
 
 
 # ---------------------------------------------------------------------------

@@ -275,6 +275,7 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
         logs["loss_kl"] = kl
         logs["latents_var"] = latents.var()
         logs["latents_mean"] = latents.mean()
+        logs["sample_losses"] = recon_loss  # per-sample, for outlier hunting
         return total, (logs, new_vars["stats"])
 
     accum = cfg.grad_accum_steps
@@ -321,7 +322,8 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
             params=new_variables, opt_state=opt_state, ema_state=ema_state,
             sigma_pdf=state.sigma_pdf, global_step=state.global_step + 1,
             total_samples_processed=samples_processed, rng=rng)
-        logs = {k: v.mean() for k, v in logs_seq.items()}
+        logs = {k: (v.reshape(-1) if k == "sample_losses" else v.mean())
+                for k, v in logs_seq.items()}
         logs["loss"] = loss
         logs["grad_norm"] = grad_norm
         return new_state, logs

@@ -59,7 +59,7 @@ class DynamicClipState(NamedTuple):
 
 def dynamic_grad_clip(z: Optional[float] = 4.0, static_max_norm: float = 10.0,
                       mean_ema_beta: float = 0.99, std_ema_beta: float = 0.99,
-                      warmup_steps: int = 100, eps: float = 1e-8):
+                      eps: float = 1e-8):
     """Clip by global norm at mean + z*std of the grad-norm history
     (log-domain EMAs, reference: trainer.py:407-431). ``z=None`` falls back
     to a static max norm. NaN/Inf grads are zeroed (the JAX-native analog of
@@ -81,8 +81,6 @@ def dynamic_grad_clip(z: Optional[float] = 4.0, static_max_norm: float = 10.0,
             grad_mean = jnp.exp(state.grad_norm_logmean)
             grad_std = jnp.exp(state.grad_norm_logvar / 2.0)
             max_norm = grad_mean + grad_std * z
-            # during EMA warmup use the static cap
-            step_count = state.last_grad_norm  # placeholder; see below
         else:
             max_norm = jnp.float32(static_max_norm)
 

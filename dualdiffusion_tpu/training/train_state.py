@@ -180,12 +180,13 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
             if ws is not None:
                 aux_acc = {"bucket_sums": aux_acc["bucket_sums"] + ws,
                            "bucket_counts": aux_acc["bucket_counts"] + wc}
-            return (grads_acc, loss_acc + loss, aux_acc), aux["denoised_std"]
+            return (grads_acc, loss_acc + loss, aux_acc), \
+                (aux["denoised_std"], aux["loss_weighted"])
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         nb = max(config.num_loss_buckets, 1)
         init_aux = {"bucket_sums": jnp.zeros((nb,)), "bucket_counts": jnp.zeros((nb,))}
-        (grads, loss_sum, aux_out), dstd = jax.lax.scan(
+        (grads, loss_sum, aux_out), (dstd, sample_losses) = jax.lax.scan(
             accum_body, (zero_grads, 0.0, init_aux), (micro, sigma_micro, keys))
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         loss = loss_sum / accum
@@ -211,7 +212,10 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
                 "grad_norm": _find_clip_stat(opt_state, "last_grad_norm"),
                 "max_grad_norm": _find_clip_stat(opt_state, "last_max_norm"),
                 "bucket_sums": aux_out["bucket_sums"],
-                "bucket_counts": aux_out["bucket_counts"]}
+                "bucket_counts": aux_out["bucket_counts"],
+                # per-sample weighted losses in original batch order (the
+                # microbatch reshape splits the leading dim contiguously)
+                "sample_losses": sample_losses.reshape(-1)}
         return new_state, logs
 
     return train_step

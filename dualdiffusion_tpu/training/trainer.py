@@ -198,6 +198,7 @@ class Trainer:
         self.last_checkpoint_time = time.time()
         self.total_train_hours = 0.0
         self.epoch = 0
+        self._pending_sample_losses: Dict[str, float] = {}
         lrc = config.lr_schedule
         self._lr_fn = lr_schedule(lrc.lr_schedule, lrc.learning_rate,
                                   lrc.lr_warmup_steps, lrc.lr_reference_steps,
@@ -385,7 +386,8 @@ class Trainer:
                 # (loss_recon, loss_kl, loss_equivariance, loss_dae, ...)
                 for k, v in logs.items():
                     if k in ("loss", "grad_norm", "bucket_sums",
-                             "bucket_counts", "sample_losses"):
+                             "bucket_counts", "sample_losses",
+                             "loss_weighted"):
                         continue
                     v = np.asarray(v)
                     if v.ndim == 0:
@@ -434,11 +436,13 @@ class Trainer:
                     self.save_checkpoint()
 
                 if step >= max_steps:
+                    self._flush_sample_losses()
                     if cfg.model_path:
                         self.save_checkpoint()
                     return self.state
 
             self.epoch += 1
+            self._flush_sample_losses()
             if (self.eval_step is not None
                     and self.validation_dataloader is not None
                     and self.epoch % max(self.config.num_validation_epochs, 1) == 0):
@@ -504,11 +508,20 @@ class Trainer:
         return results
 
     def _record_sample_losses(self, paths, logs) -> None:
-        per_sample = logs.get("loss_weighted")
+        """Accumulate per-sample losses host-side; flushed to json once per
+        epoch / checkpoint (the reference batches this per epoch,
+        trainer.py:944-951 — per-step rewrites are O(n^2) io)."""
+        per_sample = logs.get("sample_losses")
         if per_sample is None or not self.config.model_path:
+            return
+        for p, l in zip(paths, np.asarray(per_sample).reshape(-1).tolist()):
+            self._pending_sample_losses[str(p)] = float(l)
+
+    def _flush_sample_losses(self) -> None:
+        if not self._pending_sample_losses or not self.config.model_path:
             return
         out = Path(self.config.model_path) / "per_sample_losses.json"
         data = load_json(out) if out.is_file() else {}
-        for p, l in zip(paths, np.asarray(per_sample).reshape(-1).tolist()):
-            data[str(p)] = l
+        data.update(self._pending_sample_losses)
+        self._pending_sample_losses.clear()
         save_json(dict(sorted(data.items(), key=lambda kv: -kv[1])), out)

@@ -48,6 +48,13 @@ def main():
                     choices=["auto", "fgla", "ddec"])
     ap.add_argument("--load_ema", default=None,
                     help="EMA name to load for the unet (e.g. std0.05)")
+    ap.add_argument("--img2img", default=None, metavar="AUDIO",
+                    help="input audio file for img2img generation")
+    ap.add_argument("--img2img_strength", type=float, default=0.5,
+                    help="0 = return input, 1 = full generation")
+    ap.add_argument("--inpaint", default=None, metavar="START:END",
+                    help="regenerate only this time range (seconds) of the "
+                         "--img2img input, e.g. --inpaint 10:20")
     ap.add_argument("--output", default="output.wav")
     args = ap.parse_args()
 
@@ -71,12 +78,40 @@ def main():
                           length=args.length, use_heun=args.use_heun,
                           seamless_loop=args.seamless_loop,
                           num_fgla_iters=args.num_fgla_iters,
+                          img2img_strength=args.img2img_strength,
                           prompt=parse_prompt(args.prompt))
     emb = pipeline.get_prompt_embedding(params.prompt)
+
+    input_audio = None
+    inpainting_mask = None
+    if args.img2img:
+        from dualdiffusion_tpu.utils import load_audio
+        sr, input_audio = load_audio(args.img2img, return_sample_rate=True)
+        assert sr == pipeline.format.config.sample_rate, (
+            f"input sample rate {sr} != model rate "
+            f"{pipeline.format.config.sample_rate}")
+        if args.inpaint:
+            # build a latent-space time mask: 1 = regenerate, 0 = keep
+            start_s, _, end_s = args.inpaint.partition(":")
+            fmt = pipeline.format
+            mel_shape = fmt.get_sample_shape(1, params.length)
+            ds = (pipeline.modules["dae"].module.downsample_ratio
+                  if "dae" in pipeline.modules else 1)
+            lat_w = mel_shape[2] // ds * ds // ds if ds > 1 else mel_shape[2]
+            hop_s = getattr(fmt.config, "ms_hop_length",
+                            getattr(fmt.config, "hop_length", 256)) * ds
+            mask = np.zeros((1, 1, lat_w, 1), np.float32)
+            c0 = int(float(start_s) * sr / hop_s)
+            c1 = int(float(end_s) * sr / hop_s)
+            mask[:, :, max(c0, 0):min(c1, lat_w)] = 1.0
+            inpainting_mask = mask
+
     logger.info("sampling %d steps (seed %d, cfg %.2f, prompt %s)",
                 params.steps, seed, params.cfg_scale, params.prompt)
     out = pipeline.generate(params, jax.random.PRNGKey(seed),
-                            prompt_embedding=emb, decode_mode=args.decode_mode)
+                            prompt_embedding=emb, decode_mode=args.decode_mode,
+                            input_audio=input_audio,
+                            inpainting_mask=inpainting_mask)
     raw = np.asarray(out["raw"])
     sr = pipeline.format.config.sample_rate
     for i in range(raw.shape[0]):

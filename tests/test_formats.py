@@ -169,3 +169,33 @@ def test_ms_mdct_dual_mel_matches_torch_golden(audio):
     assert np.median(d) < 5e-3
     loud = ref > ref.mean()
     np.testing.assert_allclose(ours[loud], ref[loud], rtol=1e-3, atol=1e-3)
+
+
+def test_pitch_shift_augmentation_format():
+    """Pitch-shift encode augmentation: a format with min/max frequency
+    scaled by 2**(semitones/12) shifts the mel filter centers by the same
+    rate (reference: processes/encode.py:223-227)."""
+    import dataclasses
+    import numpy as np
+    from dualdiffusion_tpu.models.formats.ms_mdct_dual import (
+        MSMDCTDualFormat, MSMDCTDualFormatConfig)
+    base = MSMDCTDualFormatConfig(ms_freq_min=20.0)
+    fmt = MSMDCTDualFormat(base)
+    rate = 2.0 ** (-2 / 12.0)
+    shifted_cfg = dataclasses.replace(
+        base, ms_freq_min=base.ms_freq_min * rate,
+        ms_freq_max_override=base.ms_freq_max * rate)
+    shifted = MSMDCTDualFormat(shifted_cfg)
+    # mel spacing is nonlinear, so interior centers scale only approximately
+    # (the endpoints scale exactly — same as the reference's augmentation)
+    np.testing.assert_allclose(shifted.ms_filter_center_hz,
+                               np.asarray(fmt.ms_filter_center_hz) * rate,
+                               rtol=0.1)
+    ratio = (np.asarray(shifted.ms_filter_center_hz)
+             / np.asarray(fmt.ms_filter_center_hz))
+    assert (ratio < 1.0).all()  # every filter shifted down
+    # mel spec still computes with the shifted bank
+    import jax.numpy as jnp
+    audio = jnp.zeros((1, 2, 8192))
+    mel = shifted.raw_to_mel_spec(audio)
+    assert mel.shape[1] == base.ms_num_filters

@@ -120,3 +120,48 @@ def test_generate_end_to_end(key):
 def test_unknown_module_type():
     with pytest.raises(KeyError):
         get_module_class("bogus_type")
+
+
+def test_generate_img2img_from_audio(key):
+    pipe = make_pipeline(key)
+    params = SampleParams(steps=2, use_heun=False, cfg_scale=1.0,
+                          length=4096, num_fgla_iters=2,
+                          img2img_strength=0.5)
+    audio = np.random.default_rng(0).standard_normal((2, 4096)).astype(np.float32)
+    out = pipe.generate(params, key, input_audio=audio)
+    assert np.isfinite(np.asarray(out["raw"])).all()
+    # strength 0.5 over 2 steps -> 1 sampler step recorded
+    assert out["debug"]["sample_std"].shape[0] == 1
+
+
+def test_generate_inpainting_substitutes_converted_unet(tmp_path, key):
+    """Inpainting builds ref+mask channels and auto-substitutes the
+    converted unet_inpainting module (which expects the extra in-channels —
+    the plain unet would fail on them)."""
+    from dualdiffusion_tpu.models.convert import convert_unet_to_inpainting
+    pipe = make_pipeline(key)
+    pipe.save_pretrained(tmp_path / "m")
+    convert_unet_to_inpainting(tmp_path / "m")
+    loaded = Pipeline.from_pretrained(tmp_path / "m")
+    assert "unet_inpainting" in loaded.modules
+
+    params = SampleParams(steps=2, use_heun=False, cfg_scale=1.0,
+                          length=4096, num_fgla_iters=2)
+    audio = np.random.default_rng(1).standard_normal((2, 4096)).astype(np.float32)
+    mask = np.ones((1, 1, 1, 1), np.float32)  # broadcast: regenerate all
+    out = loaded.generate(params, key, input_audio=audio,
+                          inpainting_mask=mask)
+    assert np.isfinite(np.asarray(out["raw"])).all()
+    # inpainting forces the full schedule regardless of img2img_strength
+    assert out["debug"]["sample_std"].shape[0] == params.steps
+
+
+def test_ddec_width_alignment():
+    from dualdiffusion_tpu.models.formats.ms_mdct_dual import (
+        MSMDCTDualFormat, MSMDCTDualFormatConfig)
+    fmt = MSMDCTDualFormat(MSMDCTDualFormatConfig())
+    mel_shape = fmt.get_mel_spec_shape(1, 65536)
+    mdct = fmt.get_mdct_shape_for_mel_frames(1, mel_shape[2])
+    assert mdct[2] == mel_shape[2]
+    # and the raw-length-derived grid agrees frame-for-frame
+    assert fmt.get_mdct_shape(1, 65536)[2] == mel_shape[2]

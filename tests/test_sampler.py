@@ -146,3 +146,28 @@ def test_edm_sample_deterministic_golden():
     out3, _ = edm_sample(denoise, (1, 4, 8, 16), sp, 100.0, 0.05, 1.0,
                          jax.random.PRNGKey(8), return_debug=False)
     assert float(jnp.abs(out - out3).max()) > 1e-3
+
+
+def test_sampler_img2img_strength_zero_reproduces_input():
+    """strength -> 0 must reproduce the (normalized) input sample."""
+    from dualdiffusion_tpu.models.mp import normalize
+    init = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 2))
+    params = SampleParams(steps=10, use_heun=False, cfg_scale=1.0,
+                          img2img_strength=0.0)
+    out, _ = edm_sample(_perfect_denoiser(jnp.zeros_like(init)), init.shape,
+                        params, 100.0, 0.01, 1.0, jax.random.PRNGKey(0),
+                        init_sample=init)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(normalize(init)),
+                               rtol=0.05, atol=0.05)
+
+
+def test_sampler_img2img_partial_schedule():
+    """strength s runs round(steps*s) steps from the matching mid sigma."""
+    init = jnp.zeros((1, 4, 4, 1))
+    params = SampleParams(steps=10, use_heun=False, cfg_scale=1.0,
+                          img2img_strength=0.3)
+    out, dbg = edm_sample(_perfect_denoiser(init), (1, 4, 4, 1), params,
+                          100.0, 0.01, 1.0, jax.random.PRNGKey(0),
+                          init_sample=init)
+    assert dbg["sample_std"].shape[0] == 3
+    assert np.isfinite(np.asarray(out)).all()

@@ -491,3 +491,29 @@ def test_prime_mss_1d_matches_torch_golden(rng):
     # zero for identical inputs
     z = float(prime_mss_1d(jnp.asarray(s), jnp.asarray(s), bws, steps).sum())
     assert z < 1e-6
+
+
+def test_per_sample_loss_logging(key, tmp_path):
+    """The train step must report per-sample losses and the trainer must
+    flush them to per_sample_losses.json (ADVICE r1: this was a silent
+    no-op — no step returned the key the trainer read)."""
+    from dualdiffusion_tpu.training.trainer import Trainer, TrainerConfig
+    step, state = _build(key, grad_accum=2, total_batch=4)
+    batch = {"samples": jax.random.normal(key, (4, 8, 16, 4)),
+             "embeddings": jax.random.normal(key, (4, 8))}
+    _, logs = jax.jit(step)(state, batch)
+    assert "sample_losses" in logs and logs["sample_losses"].shape == (4,)
+    assert np.isfinite(np.asarray(logs["sample_losses"])).all()
+
+    tconf = TrainerConfig(model_path=str(tmp_path), max_train_steps=1,
+                          num_train_epochs=1, min_checkpoint_time=10**9)
+    loader = [dict(batch, paths=[f"s{i}.flac" for i in range(4)])]
+    trainer = Trainer(tconf, jax.jit(step), state, loader)
+    trainer.train(max_steps=1)
+    out = tmp_path / "per_sample_losses.json"
+    assert out.is_file()
+    import json
+    data = json.loads(out.read_text())
+    assert set(data) == {f"s{i}.flac" for i in range(4)}
+    vals = list(data.values())
+    assert vals == sorted(vals, reverse=True)
