@@ -30,6 +30,10 @@ class MeshConfig:
     data_axis: int = -1      # -1 = all devices on the data axis
     model_axis: int = 1      # tensor-parallel width (1 = pure DP)
     axis_names: Tuple[str, str] = ("data", "model")
+    # multi-slice: number of DCN-connected slices/hosts. >1 lays out the
+    # data axis so its outer blocks ride DCN (one all-reduce per step)
+    # while model-parallel collectives stay on ICI inside a slice.
+    num_dcn_slices: int = 1
 
 
 def make_mesh(config: Optional[MeshConfig] = None,
@@ -41,7 +45,25 @@ def make_mesh(config: Optional[MeshConfig] = None,
     data = n // model if config.data_axis == -1 else config.data_axis
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    slices = max(config.num_dcn_slices, 1)
+    if slices > 1:
+        # hybrid ICI x DCN layout: data-parallel outer blocks span DCN,
+        # model parallelism stays within a slice (SURVEY.md §5.8)
+        if data % slices != 0:
+            raise ValueError(f"data axis {data} not divisible by "
+                             f"{slices} DCN slices")
+        try:
+            from jax.experimental import mesh_utils
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (data // slices, model), (slices, 1), devices=devices)
+        except ValueError:
+            # no DCN slice metadata (CPU multi-process simulation): group
+            # devices by process so the outer data blocks are host-local
+            ordered = sorted(devices,
+                             key=lambda d: (d.process_index, d.id))
+            dev_array = np.asarray(ordered).reshape(data, model)
+    else:
+        dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, config.axis_names)
 
 
@@ -58,11 +80,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays with the batch axis sharded over
-    'data'. Per-host sharded loading: each process passes its local shard
-    via jax.make_array_from_process_local_data in multi-host settings."""
+    'data'.
+
+    Single-process: a plain sharded device_put. Multi-process: each host
+    passes only ITS shard of the global batch (the per-rank DataLoader
+    split) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — no cross-host data
+    movement (reference Accelerate analog: per-rank dataloaders prepared in
+    trainer.py:242-248)."""
+    multihost = jax.process_count() > 1
+
     def place(x):
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sharding = batch_sharding(mesh, x.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
     return jax.tree_util.tree_map(place, batch)
+
+
+def replicate_state(mesh: Mesh, state):
+    """Place a pytree fully replicated over the mesh. Multi-process: every
+    host passes its (identical — same seed) copy and the global replicated
+    array is assembled without cross-host transfers."""
+    rep = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)) if hasattr(x, "ndim") else x,
+            state)
+    return jax.device_put(state, rep)
 
 
 def param_sharding_rule(mesh: Mesh, leaf: jax.Array,

@@ -231,6 +231,9 @@ class Trainer:
 
     # ---- observability ----------------------------------------------------
     def _make_writer(self):
+        from ..parallel.distributed import is_main_process
+        if not is_main_process():
+            return None  # rank-0 io gating (Accelerate is_main_process)
         logdir = self.config.logging.logging_dir
         if logdir is None and self.config.model_path:
             logdir = os.path.join(self.config.model_path, "logs",
@@ -256,41 +259,46 @@ class Trainer:
             f"{self.config.module_name}_checkpoint-{step}"
 
     def save_checkpoint(self) -> Path:
+        from ..parallel.distributed import is_main_process
         step = int(self.state.global_step)
         ckpt = self._checkpoint_dir(step)
-        ckpt.mkdir(parents=True, exist_ok=True)
+        main = is_main_process()
+        if main:
+            ckpt.mkdir(parents=True, exist_ok=True)
 
-        # 1. module in pipeline format (reference :547-562)
-        if self.export_module_fn is not None:
-            self.export_module_fn(ckpt, self.state.params)
+            # 1. module in pipeline format (reference :547-562)
+            if self.export_module_fn is not None:
+                self.export_module_fn(ckpt, self.state.params)
 
-        # 2. EMA profiles
-        if self.ema_bank is not None:
-            from ..pipelines.pipeline import _flatten
-            for name in self.ema_bank.configs:
-                save_safetensors(
-                    _flatten(self.state.ema_state[name]),
-                    ckpt / self.config.module_name / f"ema_{name}.safetensors",
-                    metadata={"std": str(self.ema_bank.configs[name].std),
-                              "global_step": str(step)})
+            # 2. EMA profiles
+            if self.ema_bank is not None:
+                from ..pipelines.pipeline import _flatten
+                for name in self.ema_bank.configs:
+                    save_safetensors(
+                        _flatten(self.state.ema_state[name]),
+                        ckpt / self.config.module_name / f"ema_{name}.safetensors",
+                        metadata={"std": str(self.ema_bank.configs[name].std),
+                                  "global_step": str(step)})
 
-        # 3. full train state via orbax (opt state, rng, counters)
+        # 3. full train state via orbax (opt state, rng, counters).
+        # NOT rank-gated: in multi-host runs every process participates in
+        # the coordinated orbax save (shared filesystem required).
         import orbax.checkpoint as ocp
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save((ckpt / "train_state").absolute(), self.state, force=True)
 
-        # 4. trainer_state.json (reference :213-219)
-        save_json({
-            "global_step": step,
-            "epoch": self.epoch,
-            "total_samples_processed": int(self.state.total_samples_processed),
-            "total_train_hours": self.total_train_hours,
-        }, ckpt / "trainer_state.json")
+        if main:
+            # 4. trainer_state.json (reference :213-219)
+            save_json({
+                "global_step": step,
+                "epoch": self.epoch,
+                "total_samples_processed": int(self.state.total_samples_processed),
+                "total_train_hours": self.total_train_hours,
+            }, ckpt / "trainer_state.json")
 
-        # 5. source snapshot (reference :613-627)
-        self._snapshot_source(ckpt / "src_snapshot")
-
-        self._rotate_checkpoints()
+            # 5. source snapshot (reference :613-627)
+            self._snapshot_source(ckpt / "src_snapshot")
+            self._rotate_checkpoints()
         self.last_checkpoint_time = time.time()
         logger.info("saved checkpoint %s", ckpt)
         return ckpt
@@ -518,7 +526,9 @@ class Trainer:
             self._pending_sample_losses[str(p)] = float(l)
 
     def _flush_sample_losses(self) -> None:
-        if not self._pending_sample_losses or not self.config.model_path:
+        from ..parallel.distributed import is_main_process
+        if (not self._pending_sample_losses or not self.config.model_path
+                or not is_main_process()):
             return
         out = Path(self.config.model_path) / "per_sample_losses.json"
         data = load_json(out) if out.is_file() else {}

@@ -127,3 +127,52 @@ def test_tensor_parallel_state_sharding():
             assert any(s != () and s[0] == "model" for s in map(tuple, specs))
     assert np.isfinite(losses[1]) and np.isfinite(losses[2])
     assert abs(losses[1] - losses[2]) / abs(losses[1]) < 5e-2, losses
+
+
+def test_multihost_two_process_simulation(tmp_path):
+    """2-process CPU cluster (jax.distributed over a local coordinator):
+    one DP train step with per-process batch feeding must produce exactly
+    the single-process loss over the same 8 virtual devices
+    (SURVEY.md §5.8; VERDICT r1 missing #3)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "scripts" / "multihost_dryrun.py"
+    repo = str(script.parents[1])
+    env = {"PYTHONPATH": repo, "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "HOME": "/root"}
+
+    def loss_of(out: str) -> float:
+        m = re.search(r"LOSS ([0-9.]+)", out)
+        assert m, f"no LOSS line in output:\n{out[-2000:]}"
+        return float(m.group(1))
+
+    single = subprocess.run(
+        [sys.executable, str(script), "single"], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=280)
+    assert single.returncode == 0, single.stderr[-2000:]
+    loss_single = loss_of(single.stdout)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    w1 = subprocess.Popen(
+        [sys.executable, str(script), "worker", "--pid", "1",
+         "--port", str(port)], cwd=repo, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        w0 = subprocess.run(
+            [sys.executable, str(script), "worker", "--pid", "0",
+             "--port", str(port)], cwd=repo, env=env,
+            capture_output=True, text=True, timeout=280)
+        assert w0.returncode == 0, w0.stdout[-2000:] + w0.stderr[-2000:]
+        loss_multi = loss_of(w0.stdout)
+        assert w1.wait(timeout=60) == 0
+    finally:
+        if w1.poll() is None:
+            w1.kill()
+    assert loss_multi == pytest.approx(loss_single, rel=1e-6), \
+        (loss_multi, loss_single)

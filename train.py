@@ -25,14 +25,23 @@ def main():
     ap.add_argument("--dataset_path", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--num_dcn_slices", type=int, default=1,
+                    help="multi-slice: number of DCN-connected slices "
+                         "(data-parallel outer blocks ride DCN)")
     args = ap.parse_args()
+
+    # multi-host: initialize the distributed runtime BEFORE any jax use
+    # (reference Accelerate-init analog, trainer.py:242-293; SURVEY.md §5.8)
+    from dualdiffusion_tpu.parallel.distributed import (
+        is_main_process, maybe_initialize_distributed)
+    maybe_initialize_distributed()
 
     import jax
     import numpy as np
 
     from dualdiffusion_tpu.dataset.dataloader import (DatasetConfig,
                                                       DualDiffusionDataset)
-    from dualdiffusion_tpu.parallel import make_mesh, shard_batch
+    from dualdiffusion_tpu.parallel import MeshConfig, make_mesh, shard_batch
     from dualdiffusion_tpu.pipelines import Pipeline
     import dualdiffusion_tpu.training.builders  # noqa: F401 (registers trainers)
     from dualdiffusion_tpu.training.trainer import (Trainer, TrainerConfig,
@@ -42,14 +51,19 @@ def main():
     tconf = load_config(TrainerConfig, args.train_config_path)
     tconf.model_path = args.model_path
 
-    logger.info("devices: %s", jax.devices())
-    mesh = make_mesh()
+    logger.info("process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(), jax.device_count())
+    mesh = make_mesh(MeshConfig(num_dcn_slices=args.num_dcn_slices))
 
     pipeline = Pipeline.from_pretrained(args.model_path, load_checkpoints=False)
     key = jax.random.PRNGKey(tconf.seed)
 
     builder = get_module_trainer(tconf.module_trainer)
     step, state, export_fn, ema_bank, batch_adapter = builder(pipeline, tconf, key)
+    if jax.process_count() > 1:
+        from dualdiffusion_tpu.parallel import replicate_state
+        state = replicate_state(mesh, state)
     jstep = jax.jit(step)
 
     data_dir = args.dataset_path or DATASET_PATH
@@ -64,11 +78,17 @@ def main():
     logger.info("dataset: %d samples (%s filtered)", len(ds),
                 ds.num_filtered_samples)
 
+    # each host loads its process-local share of the global batch:
+    # global = device_batch * grad_accum * jax.device_count()
+    local_batch = (tconf.device_batch_size
+                   * tconf.gradient_accumulation_steps
+                   * jax.local_device_count())
+
     def dataloader():
         epoch = 0
         while True:
             for batch in ds.iter_batches(
-                    "train", tconf.device_batch_size * tconf.gradient_accumulation_steps,
+                    "train", local_batch,
                     seed=tconf.seed + epoch):
                 paths = batch.pop("paths", None)
                 adapted = batch_adapter(batch)
