@@ -116,12 +116,17 @@ class MSMDCTDualFormat(Format):
         # filters RMS-normalized per filter (reference :136-138); filters
         # shifted entirely past Nyquist (pitch-shift augmentation) are empty
         # — leave them zero instead of dividing by zero
-        filters = self.ms_freq_scale.filters.astype(np.float64)
-        rms = np.sqrt((filters ** 2).mean(axis=0, keepdims=True))
-        filters = filters / np.maximum(rms, 1e-12)
+        raw_filters = self.ms_freq_scale.filters.astype(np.float64)
+        rms = np.sqrt((raw_filters ** 2).mean(axis=0, keepdims=True))
+        filters = raw_filters / np.maximum(rms, 1e-12)
         self.ms_filters = filters.astype(np.float32)
-        # pinv of the RMS-normalized filterbank for mel_spec_to_linear
-        self._filters_pinv = np.linalg.pinv(filters.T, rcond=1e-10).astype(np.float32)
+        # mel_spec_to_linear inverts via the RAW (un-normalized) slaney
+        # filterbank — the reference's runtime lstsq goes through
+        # ms_freq_scale.filters, NOT the RMS-normalized forward bank
+        # (reference :220 unscale + frequency_scale.py:130-142); its
+        # minimum-norm lstsq solution equals this precomputed pinv
+        self._filters_pinv = np.linalg.pinv(raw_filters.T,
+                                            rcond=1e-10).astype(np.float32)
 
         # effective window widths (reference :141-144)
         window_widths = np.array([2 * np.arccos(2.0 ** (-1.0 / e)) / np.pi * 2 * cfg.ms_window_length
