@@ -88,6 +88,11 @@ class ModelServer:
         return SampleParams(**{k: v for k, v in overrides.items() if k in fields})
 
     def cmd_generate(self) -> None:
+        """One full generation via Pipeline.generate — the DDEC diffusion
+        decode, img2img/inpainting, and seamless-loop crossfade all come
+        from the single orchestration path (no drift with the CLI), with
+        chunked step previews + abort over the shared dict
+        (reference: model_server.py:111-113 + pipeline :540-546)."""
         import jax
         params = self._params(self.state.get("sample_params", {}))
         seed = params.seed or int(np.random.randint(100000, 999999))
@@ -101,38 +106,23 @@ class ModelServer:
             return bool(self.state.get("generate_abort", False))
 
         fmt = self.pipeline.format
-        k1, k3 = jax.random.split(jax.random.PRNGKey(seed))
-        dae_h = self.pipeline.modules.get("dae")
-        if dae_h is not None:
-            from ..models.dae import DAE as _DAE
-            mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
-            lat_shape = dae_h.module.apply(dae_h.variables, mel_shape,
-                                           method=_DAE.get_latent_shape)
-            latents, debug = self.pipeline.diffusion_decode(
-                params, k1, sample_shape=tuple(lat_shape),
-                audio_embedding=emb, chunk_size=max(params.steps // 10, 1),
-                chunk_callback=chunk_cb)
-            if self.state.get("generate_abort", False):
-                self.state["generate_output"] = None
-                return
-            mel = dae_h.module.apply(dae_h.variables, latents,
-                                     method=_DAE.decode)
+        out = self.pipeline.generate(
+            params, jax.random.PRNGKey(seed), prompt_embedding=emb,
+            decode_mode=self.state.get("decode_mode", "auto"),
+            input_audio=self.state.get("input_audio"),
+            input_latents=self.state.get("input_latents"),
+            inpainting_mask=self.state.get("inpainting_mask"),
+            chunk_size=max(params.steps // 10, 1), chunk_callback=chunk_cb)
+        if self.state.get("generate_abort", False):
+            self.state["generate_output"] = None
         else:
-            mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
-            mel, debug = self.pipeline.diffusion_decode(
-                params, k1, sample_shape=tuple(mel_shape), audio_embedding=emb,
-                chunk_size=max(params.steps // 10, 1), chunk_callback=chunk_cb)
-            latents = None
-        if hasattr(fmt, "sample_to_raw_fgla"):
-            raw = fmt.sample_to_raw_fgla(mel, params.num_fgla_iters, key=k3)
-        else:
-            raw = fmt.sample_to_raw(mel, n_fgla_iters=params.num_fgla_iters,
-                                    key=k3)
-        self.state["generate_output"] = {
-            "raw": np.asarray(raw), "sample": np.asarray(mel),
-            "latents": None if latents is None else np.asarray(latents),
-            "seed": seed, "sample_rate": fmt.config.sample_rate,
-        }
+            self.state["generate_output"] = {
+                "raw": np.asarray(out["raw"]),
+                "sample": np.asarray(out["sample"]),
+                "latents": (None if out["latents"] is None
+                            else np.asarray(out["latents"])),
+                "seed": seed, "sample_rate": fmt.config.sample_rate,
+            }
         self.state["generate_step"] = None
         self.state["generate_latents"] = None
 
@@ -194,6 +184,16 @@ class ModelServer:
 
 def start_model_server(state) -> None:
     """Entry point for multiprocessing.Process."""
+    platform = os.environ.get("DD_MODEL_SERVER_PLATFORM")
+    if platform:
+        # force a backend (tests run the server on CPU); config-level
+        # override — env vars are preempted by the environment's
+        # interpreter-start jax import
+        import jax
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
     ModelServer(state).run()
 
 

@@ -88,11 +88,27 @@ function params(){
     use_heun:document.getElementById('heun').checked,
     seamless_loop:document.getElementById('loop').checked, prompt:labels};
 }
-async function generate(){
-  await fetch('/api/generate',{method:'POST',body:JSON.stringify(params())});
+async function generate(extra){
+  const p = Object.assign(params(), extra||{});
+  await fetch('/api/generate',{method:'POST',body:JSON.stringify(p)});
   poll();
 }
 async function abortGen(){ await fetch('/api/abort',{method:'POST'}); }
+// output editor: regenerate a time range of an output (inpaint) or
+// extend it (outpaint) — reference nicegui_elements.py:563-1034
+async function inpaintOutput(id){
+  const s=+document.getElementById('in_start_'+id).value;
+  const e=+document.getElementById('in_end_'+id).value;
+  generate({input_output_id:id, inpaint_start:s, inpaint_end:e});
+}
+async function extendOutput(id){
+  const mode=document.getElementById('ext_mode_'+id).value;
+  generate({input_output_id:id, extend:mode});
+}
+async function img2imgOutput(id){
+  generate({input_output_id:id,
+            img2img_strength:+document.getElementById('i2i_'+id).value});
+}
 async function poll(){
   const r = await (await fetch('/api/status')).json();
   document.getElementById('status').textContent = r.status;
@@ -107,13 +123,44 @@ async function refreshOutputs(){
   const outs = await (await fetch('/api/outputs')).json();
   const d = document.getElementById('outputs'); d.innerHTML='';
   outs.forEach(o=>{ d.innerHTML += `<div class="out">seed ${o.seed}
-    <audio controls src="/api/output/${o.id}/audio.wav"></audio>
-    <img class="spec" src="/api/output/${o.id}/spec.png"></div>`; });
+    <audio id="au_${o.id}" controls src="/api/output/${o.id}/audio.wav"
+      style="width:100%"></audio>
+    <div class="specwrap" style="position:relative">
+      <img class="spec" id="sp_${o.id}" src="/api/output/${o.id}/spec.png"
+        onclick="seekSpec(event,${o.id})">
+      <div id="ph_${o.id}" style="position:absolute;top:0;bottom:0;left:0;
+        width:2px;background:#8fd;pointer-events:none"></div></div>
+    <div>inpaint <input id="in_start_${o.id}" type="number" value="0"
+      style="width:4.5em"> - <input id="in_end_${o.id}" type="number"
+      value="10" style="width:4.5em"> s
+      <button onclick="inpaintOutput(${o.id})">inpaint</button>
+      <select id="ext_mode_${o.id}"><option>append</option>
+        <option>prepend</option></select>
+      <button onclick="extendOutput(${o.id})">extend</button>
+      img2img <input id="i2i_${o.id}" type="number" value="0.5" step="0.05"
+        style="width:4.5em">
+      <button onclick="img2imgOutput(${o.id})">remix</button></div></div>`; });
+  outs.forEach(o=>{ const a=document.getElementById('au_'+o.id);
+    a.ontimeupdate = ()=>{ const img=document.getElementById('sp_'+o.id);
+      const ph=document.getElementById('ph_'+o.id);
+      if (a.duration) ph.style.left=(a.currentTime/a.duration*img.clientWidth)+'px'; };
+  });
+}
+// spectrogram audio player: click on the spectrogram to seek
+// (reference: nicegui_audio_editor.js / nicegui_custom_audio.js)
+function seekSpec(ev, id){
+  const a=document.getElementById('au_'+id);
+  const img=document.getElementById('sp_'+id);
+  if (a.duration){
+    a.currentTime = (ev.offsetX/img.clientWidth)*a.duration;
+    a.play();
+  }
 }
 async function refreshInventory(){
-  const inv = await (await fetch('/api/inventory')).json();
+  const r = await (await fetch('/api/inventory')).json();
+  if (r.pending){ setTimeout(refreshInventory, 1000); return; }
   let h='';
-  for (const [m, v] of Object.entries(inv))
+  for (const [m, v] of Object.entries(r))
     h += `${m}: ckpts [${v.checkpoints.join(', ')}] emas [${v.emas.join(', ')}]\n`;
   document.getElementById('inventory').textContent = h;
 }
@@ -124,7 +171,8 @@ async function reloadModel(){
   const r = await (await fetch('/api/load_model',{method:'POST',
     body:JSON.stringify({load_checkpoints:document.getElementById('loadckpt').checked,
                          load_emas:emas})})).json();
-  document.getElementById('status').textContent = r.ok?'model reloaded':(r.error||'reload failed');
+  document.getElementById('status').textContent = r.error||'model reloading...';
+  poll();
 }
 async function refreshPresets(){
   const ps = await (await fetch('/api/presets')).json();
@@ -193,10 +241,14 @@ def _make_handler(ui: UIState):
                             "modules": s.get("model_modules", [])})
             elif self.path == "/api/status":
                 step = s.get("generate_step")
-                busy = ui.busy and step is not None
+                generating = ui.busy and step is not None
                 progress = (step or 0) / max(ui.total_steps, 1)
-                status = (f"step {step}/{ui.total_steps}" if busy else
-                          (s.get("error") or "idle"))
+                if generating:
+                    status = f"step {step}/{ui.total_steps}"
+                elif ui.busy:
+                    status = "working..."
+                else:
+                    status = s.get("error") or "idle"
                 self._json({"busy": ui.busy, "progress": progress,
                             "status": status,
                             "preview": s.get("generate_latents") is not None,
@@ -209,12 +261,16 @@ def _make_handler(ui: UIState):
                 img = tensor_to_img(np.asarray(lat)[0].mean(axis=-1))
                 self._send(_png_bytes(img), "image/png")
             elif self.path == "/api/inventory":
-                s["cmd"] = "get_inventory"
-                for _ in range(100):
+                # non-blocking: kick the command once and let the client
+                # re-poll (a ThreadingHTTPServer thread must never sleep
+                # on the accelerator process)
+                inv = s.get("inventory")
+                if inv is None:
                     if s.get("cmd") is None:
-                        break
-                    time.sleep(0.1)
-                self._json(dict(s.get("inventory") or {}))
+                        s["cmd"] = "get_inventory"
+                    self._json({"pending": True})
+                else:
+                    self._json(dict(inv))
             elif self.path == "/api/outputs":
                 self._json([{"id": i, "seed": o["seed"]}
                             for i, o in enumerate(ui.outputs)])
@@ -254,11 +310,16 @@ def _make_handler(ui: UIState):
                     self._json({"error": "busy"}, 409)
                     return
                 sample_params = json.loads(body)
+                try:
+                    _setup_editor_input(ui, sample_params)
+                except (KeyError, IndexError, ValueError) as e:
+                    self._json({"error": f"bad editor input: {e}"}, 400)
+                    return
                 ui.total_steps = int(sample_params.get("steps", 100))
                 s["sample_params"] = sample_params
                 s["cmd"] = "generate"
                 ui.busy = True
-                ui.log(f"generate: {sample_params}")
+                ui.log(f"generate: { {k: v for k, v in sample_params.items()} }")
                 threading.Thread(target=_wait_generate, args=(ui,),
                                  daemon=True).start()
                 self._json({"ok": True})
@@ -268,7 +329,9 @@ def _make_handler(ui: UIState):
                 self._json({"ok": True})
             elif self.path == "/api/load_model":
                 # model settings: reload with checkpoint / per-module EMA
-                # selection (the reference UI's Model Settings tab)
+                # selection (the reference UI's Model Settings tab).
+                # Non-blocking: a waiter thread tracks completion; the
+                # client polls /api/status.
                 if ui.busy:
                     self._json({"error": "busy"}, 409)
                     return
@@ -278,14 +341,19 @@ def _make_handler(ui: UIState):
                                                       False)),
                     "load_emas": opts.get("load_emas") or {},
                 }
+                s["inventory"] = None  # refresh after reload
                 s["cmd"] = "load_model"
-                for _ in range(600):
-                    if s.get("cmd") is None:
-                        break
-                    time.sleep(0.5)
-                err = s.get("error")
-                ui.log(f"model reloaded ({opts})" if not err else err)
-                self._json({"ok": err is None, "error": err})
+                ui.busy = True
+
+                def wait_load():
+                    while s.get("cmd") is not None:
+                        time.sleep(0.25)
+                    err = s.get("error")
+                    ui.log(f"model reloaded ({opts})" if not err else err)
+                    ui.busy = False
+
+                threading.Thread(target=wait_load, daemon=True).start()
+                self._json({"ok": True})
             elif self.path.startswith("/api/presets/"):
                 name = self.path.rsplit("/", 1)[1]
                 ui.presets_path.mkdir(parents=True, exist_ok=True)
@@ -298,12 +366,61 @@ def _make_handler(ui: UIState):
     return Handler
 
 
+def _setup_editor_input(ui: UIState, sample_params: Dict[str, Any]) -> None:
+    """Translate output-editor requests (inpaint range / extend / img2img
+    remix of a previous output) into the model server's
+    input_latents/inpainting_mask state (reference flow:
+    nicegui_elements.py:693-716)."""
+    s = ui.server_state
+    out_id = sample_params.pop("input_output_id", None)
+    inpaint_start = sample_params.pop("inpaint_start", None)
+    inpaint_end = sample_params.pop("inpaint_end", None)
+    extend = sample_params.pop("extend", None)
+    if out_id is None:
+        s["input_latents"] = None
+        s["inpainting_mask"] = None
+        return
+    o = ui.outputs[int(out_id)]
+    if o.get("latents") is None:
+        raise ValueError("output has no latents to edit")
+    lat = np.asarray(o["latents"])[0:1]          # (1, H, W, C)
+    w = lat.shape[2]
+    duration_s = o["raw"].shape[-1] / o["sample_rate"]
+    cols_per_s = w / max(duration_s, 1e-6)
+    mask = None
+    if extend in ("append", "prepend"):
+        # outpaint: shift the clip by half its length and regenerate the
+        # freed half as a continuation (reference :704-716)
+        half = w // 2
+        mask = np.zeros((1, 1, w, 1), np.float32)
+        if extend == "append":
+            lat = np.concatenate([lat[:, :, half:],
+                                  np.zeros_like(lat[:, :, :w - half])], axis=2)
+            mask[:, :, w - half:] = 1.0
+        else:
+            lat = np.concatenate([np.zeros_like(lat[:, :, :w - half]),
+                                  lat[:, :, :half]], axis=2)
+            mask[:, :, :w - half] = 1.0
+    elif inpaint_start is not None and inpaint_end is not None:
+        c0 = max(int(float(inpaint_start) * cols_per_s), 0)
+        c1 = min(int(float(inpaint_end) * cols_per_s), w)
+        if c1 <= c0:
+            raise ValueError("empty inpaint range")
+        mask = np.zeros((1, 1, w, 1), np.float32)
+        mask[:, :, c0:c1] = 1.0
+    # else: plain img2img remix (strength already in sample_params)
+    s["input_latents"] = lat
+    s["inpainting_mask"] = mask
+
+
 def _wait_generate(ui: UIState) -> None:
     s = ui.server_state
     while s.get("cmd") is not None:
         time.sleep(0.25)
     out = s.get("generate_output")
     err = s.get("error")
+    s["input_latents"] = None
+    s["inpainting_mask"] = None
     if err:
         ui.log(err)
     if out is not None:

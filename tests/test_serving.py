@@ -1,0 +1,143 @@
+"""End-to-end serving tests: real model-server process + web UI handlers
+driven over HTTP (reference surface: src/sampling/model_server.py:43-146 +
+the NiceGUI app's generate/abort/editor flows)."""
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+
+from test_pipeline import make_pipeline  # tiny unet+dae+format pipeline
+
+
+def _http(url, body=None, timeout=30):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode() if body is not None else None,
+        method="POST" if body is not None else "GET")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        data = r.read()
+        ctype = r.headers.get("Content-Type", "")
+    return (json.loads(data) if ctype.startswith("application/json")
+            else data)
+
+
+@pytest.fixture(scope="module")
+def serving(tmp_path_factory):
+    model_dir = tmp_path_factory.mktemp("model")
+    make_pipeline(jax.random.PRNGKey(0)).save_pretrained(model_dir)
+
+    import os
+    os.environ["DD_MODEL_SERVER_PLATFORM"] = "cpu"
+    from dualdiffusion_tpu.serving.model_server import launch
+    from dualdiffusion_tpu.serving.webui import UIState, _make_handler
+
+    proc, state = launch(str(model_dir))
+    t0 = time.time()
+    while state.get("cmd") is not None and time.time() - t0 < 120:
+        time.sleep(0.2)
+    assert state.get("error") is None, state.get("error")
+
+    ui = UIState(state, Path(model_dir) / "presets")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(ui))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}", state, ui
+    state["cmd"] = "shutdown"
+    httpd.shutdown()
+    proc.join(timeout=20)
+    if proc.is_alive():
+        proc.terminate()
+
+
+def _generate(base, body, timeout=180):
+    r = _http(f"{base}/api/generate", body)
+    assert r.get("ok"), r
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        st = _http(f"{base}/api/status")
+        if not st["busy"]:
+            break
+        time.sleep(0.5)
+    else:
+        raise TimeoutError("generate did not finish")
+    return _http(f"{base}/api/outputs")
+
+
+def test_serving_generate_and_outputs(serving):
+    base, state, ui = serving
+    page = _http(f"{base}/")
+    assert b"dualdiffusion-tpu" in page
+
+    info = _http(f"{base}/api/info")
+    assert "unet" in info["modules"]
+
+    outs = _generate(base, {"steps": 2, "use_heun": False, "cfg_scale": 1.0,
+                            "length": 4096, "num_fgla_iters": 2})
+    assert len(outs) == 1
+    wav = _http(f"{base}/api/output/0/audio.wav")
+    assert wav[:4] == b"RIFF"
+    png = _http(f"{base}/api/output/0/spec.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_serving_inventory_nonblocking(serving):
+    base, state, ui = serving
+    t0 = time.time()
+    r = _http(f"{base}/api/inventory")
+    assert time.time() - t0 < 2.0  # never blocks the handler thread
+    for _ in range(50):
+        if not (isinstance(r, dict) and r.get("pending")):
+            break
+        time.sleep(0.2)
+        r = _http(f"{base}/api/inventory")
+    assert "unet" in r
+
+
+def test_serving_output_editor_inpaint_and_extend(serving):
+    base, state, ui = serving
+    if not ui.outputs:
+        _generate(base, {"steps": 2, "use_heun": False, "cfg_scale": 1.0,
+                         "length": 4096, "num_fgla_iters": 2})
+    n0 = len(ui.outputs)
+
+    # inpaint a sub-range of output 0 (builds input_latents + mask)
+    outs = _generate(base, {"steps": 2, "use_heun": False, "cfg_scale": 1.0,
+                            "length": 4096, "num_fgla_iters": 2,
+                            "input_output_id": 0,
+                            "inpaint_start": 0.0, "inpaint_end": 0.05})
+    assert len(outs) == n0 + 1
+    # editor state is cleared after the run
+    assert state.get("input_latents") is None
+
+    # extend (outpaint append)
+    outs = _generate(base, {"steps": 2, "use_heun": False, "cfg_scale": 1.0,
+                            "length": 4096, "num_fgla_iters": 2,
+                            "input_output_id": 0, "extend": "append"})
+    assert len(outs) == n0 + 2
+    for o in ui.outputs:
+        assert np.isfinite(np.asarray(o["raw"])).all()
+
+
+def test_serving_module_state_dict_and_latent_shape(serving):
+    base, state, ui = serving
+    state["module_name"] = "unet"
+    state["cmd"] = "get_module_state_dict"
+    t0 = time.time()
+    while state.get("cmd") is not None and time.time() - t0 < 60:
+        time.sleep(0.2)
+    sd = state.get("module_state_dict")
+    assert sd and all(isinstance(v, np.ndarray) for v in sd.values())
+
+    state["audio_length"] = 4096
+    state["cmd"] = "get_latent_shape"
+    t0 = time.time()
+    while state.get("cmd") is not None and time.time() - t0 < 60:
+        time.sleep(0.2)
+    shape = state.get("latent_shape")
+    assert isinstance(shape, tuple) and len(shape) == 4
