@@ -140,6 +140,10 @@ class DAETrainConfig:
     grad_accum_steps: int = 1
     domain: str = "mel"               # "mel" (p1) | "mdct" (m1)
     use_random_prime_mss: bool = False
+    # fused Pallas MSS2D recon loss (ops/pallas/mss2d.py): faster and ~8x
+    # less HBM than the jnp unfold path on TPU (v5e-1 measured); supports
+    # midside "stack"/"none" only
+    use_fused_mss2d: bool = False
     mss1d_prime_loss_weight: float = 0.0   # m1's prime-width 1D MSS term
     mss2d: L.MSSLoss2DConfig = field(default_factory=L.MSSLoss2DConfig)
 
@@ -203,6 +207,13 @@ def make_dae_train_step(dae_model, fmt, optimizer: optax.GradientTransformation,
         r_cf = jnp.transpose(recon.astype(jnp.float32), (0, 3, 1, 2))
         if cfg.use_random_prime_mss:
             recon_loss = L.random_prime_mss_2d(k_drop, r_cf, s_cf)
+        elif cfg.use_fused_mss2d:
+            from ..ops.pallas.mss2d import mss2d_loss_fused
+            assert cfg.mss2d.use_midside_transform in ("stack", "none")
+            recon_loss = mss2d_loss_fused(
+                r_cf, s_cf, block_widths=cfg.mss2d.block_widths,
+                block_overlap=cfg.mss2d.block_overlap,
+                use_midside=cfg.mss2d.use_midside_transform == "stack")
         else:
             recon_loss = mss(r_cf, s_cf)
         if cfg.mss1d_prime_loss_weight > 0:

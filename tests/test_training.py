@@ -517,3 +517,34 @@ def test_per_sample_loss_logging(key, tmp_path):
     assert set(data) == {f"s{i}.flac" for i in range(4)}
     vals = list(data.values())
     assert vals == sorted(vals, reverse=True)
+
+
+def test_dae_trainer_fused_mss2d(key):
+    """DAE train step with the fused Pallas MSS2D recon loss (interpret on
+    CPU) runs and produces finite losses/grads."""
+    from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+    from dualdiffusion_tpu.models.formats.ms_mdct_dual import (
+        MSMDCTDualFormat, MSMDCTDualFormatConfig)
+    from dualdiffusion_tpu.training.module_trainers import (
+        DAETrainConfig, make_dae_train_step)
+
+    fmt = MSMDCTDualFormat(MSMDCTDualFormatConfig())
+    dcfg = DAEConfig(model_channels=8, channel_mult_enc=(1, 2),
+                     channel_mult_dec=(1, 2), num_enc_layers_per_block=1,
+                     num_dec_layers_per_block=1, latent_channels=4)
+    dae = DAE(dcfg)
+    audio = jax.random.normal(key, (2, 2, 16384)) * 0.1
+    mel = fmt.raw_to_mel_spec(audio)
+    variables = dae.init(key, mel[:, :, :32])
+    opt = build_optimizer("adamw", 1e-3)
+    tcfg = DAETrainConfig(use_fused_mss2d=True, grad_accum_steps=1,
+                          phase_invariance_loss_weight=0.0,
+                          equivariance_loss_weight=0.0,
+                          mss2d=L.MSSLoss2DConfig(block_widths=(8, 16, 32),
+                                                  use_midside_transform="stack"))
+    step = make_dae_train_step(dae, fmt, opt, None, tcfg, total_batch_size=2)
+    state = init_train_state(variables, opt, None,
+                             SigmaSamplerConfig(), key)
+    new_state, logs = jax.jit(step)(state, {"audio": audio})
+    assert np.isfinite(float(logs["loss"]))
+    assert logs["sample_losses"].shape == (2,)
