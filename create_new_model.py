@@ -41,12 +41,14 @@ def init_module(module_type: str, config, key):
         ref = (jnp.zeros((1, config.in_psd_freqs * h // config.in_num_freqs,
                           x.shape[-2], config.in_channels))
                if config.in_psd_freqs else None)
-        variables = module.init(key, x, jnp.ones((1,)), emb, ref,
-                                method=UNet.init_all)
+        # jit the whole init: eager flax init dispatches one op at a time,
+        # which is pathological on a remote-tunneled TPU at large widths
+        variables = jax.jit(lambda k: module.init(
+            k, x, jnp.ones((1,)), emb, ref, method=UNet.init_all))(key)
     elif module_type == "dae":
         ds = 2 ** (len(config.channel_mult_dec) - 1)
         x = jnp.zeros((1, max(config.in_num_freqs, ds), ds * 4, config.in_channels))
-        variables = module.init(key, x)
+        variables = jax.jit(module.init)(key, x)
     else:
         raise ValueError(f"don't know how to init module type '{module_type}'")
     from dualdiffusion_tpu.training.optim import normalize_mp_weights

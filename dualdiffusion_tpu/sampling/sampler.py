@@ -222,14 +222,22 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     elif chunk_size is None or chunk_size >= run_steps:
         (sample, _), dbg = jax.lax.scan(step, (sample, key), xs)
     else:
-        run_chunk = jax.jit(lambda carry, xs_c: jax.lax.scan(step, carry, xs_c))
+        # hoist the step's closure (model params, embeddings, x_ref) into
+        # explicit jit arguments: a closed-over param tree would be baked
+        # into the HLO as constants, which XLA constant-folds at compile
+        # time (pathologically slow at large model scales)
+        xs_example = tuple(x[0] for x in xs)  # scan slices xs per step
+        step_conv, consts = jax.closure_convert(step, (sample, key),
+                                                xs_example)
+        run_chunk = jax.jit(lambda carry, xs_c, cs: jax.lax.scan(
+            lambda c, x: step_conv(c, x, *cs), carry, xs_c))
         carry = (sample, key)
         dbg_parts = []
         done = 0
         while done < run_steps:
             n = min(chunk_size, run_steps - done)
             xs_c = tuple(x[done:done + n] for x in xs)
-            carry, d = run_chunk(carry, xs_c)
+            carry, d = run_chunk(carry, xs_c, consts)
             dbg_parts.append(d)
             done += n
             if chunk_callback is not None and chunk_callback(done, carry[0]):
