@@ -335,21 +335,21 @@ class Pipeline:
                 x_ref.shape[:1]) + tuple(x_ref.shape[1:])
         assert sample_shape is not None, "sample_shape required without x_ref"
 
-        if params.seamless_loop and x_ref is not None:
-            raise NotImplementedError(
-                "seamless loop with reference conditioning is not wired yet")
-
         use_cfg = emb2 is not None
         ref_in = ref2 if use_cfg else x_ref
 
-        def denoise(x, sigma):
-            return unet.apply(uvars, x, sigma, emb2, ref_in)
+        def denoise(x, sigma, ref=None):
+            return unet.apply(uvars, x, sigma, emb2, ref)
 
+        # the ref is passed through the sampler (not closed over) so the
+        # seamless-loop torus shift can roll it with the sample
+        # (reference: dual_diffusion_pipeline.py:467-474)
         return edm_sample(denoise, sample_shape, params,
                           params.sigma_max or ucfg.sigma_max,
                           params.sigma_min or ucfg.sigma_min,
                           params.sigma_data or ucfg.sigma_data,
                           key, init_sample=init_sample, use_cfg=use_cfg,
+                          x_ref=ref_in,
                           chunk_size=chunk_size, chunk_callback=chunk_callback)
 
     def encode_input_audio(self, input_audio, length: Optional[int] = None):

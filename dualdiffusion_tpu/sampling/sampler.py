@@ -121,6 +121,7 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                init_sample: Optional[jnp.ndarray] = None,
                return_debug: bool = True,
                use_cfg: bool = True,
+               x_ref: Optional[jnp.ndarray] = None,
                chunk_size: Optional[int] = None,
                chunk_callback: Optional[Callable[[int, jnp.ndarray], bool]] = None):
     """Run the EDM sampler.
@@ -129,6 +130,11 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     caller closes over unet params, CFG embeddings (cond first half, uncond
     second half) and any x_ref conditioning, and handles the seamless-loop
     circular pad columns if present.
+
+    ``x_ref``: reference conditioning (already CFG-doubled when use_cfg)
+    passed per step as denoise_fn(x, sigma, ref) — needed when the ref
+    must follow the seamless-loop roll+pad of the sample
+    (reference: dual_diffusion_pipeline.py:467-474).
 
     sample_shape: (B, H, W, C) (latent or spectrogram space).
     Returns (sample, debug) where sample is normalized to sigma_data.
@@ -171,12 +177,20 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         sc, sn, tl, sh, th, ra, rn = xs
         key, k_noise, k_shift = jax.random.split(key, 3)
 
+        ref = x_ref
         if params.seamless_loop:
             shift = jax.random.randint(k_shift, (), 0, sample.shape[-2])
             rolled = jnp.roll(sample, shift, axis=-2)
             x = _circular_pad_w(rolled, LOOP_PAD)
+            if ref is not None:  # the ref rides the same torus shift
+                ref = _circular_pad_w(jnp.roll(ref, shift, axis=-2), LOOP_PAD)
         else:
             x = sample
+
+        def call_model(x_in, sig):
+            if ref is None:
+                return denoise_fn(x_in, sig)
+            return denoise_fn(x_in, sig, ref)
 
         def run_model(x_in, sigma_val):
             """One (possibly CFG-doubled) model call + guidance blend.
@@ -185,10 +199,10 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
             if use_cfg:
                 x2 = jnp.concatenate([x_in, x_in], axis=0)
                 sig2 = jnp.full((2 * b,), sigma_val, jnp.float32)
-                out = denoise_fn(x2, sig2).astype(jnp.float32)
+                out = call_model(x2, sig2).astype(jnp.float32)
                 return out[b:] + (out[:b] - out[b:]) * params.cfg_scale
             sig1 = jnp.full((b,), sigma_val, jnp.float32)
-            return denoise_fn(x_in, sig1).astype(jnp.float32)
+            return call_model(x_in, sig1).astype(jnp.float32)
 
         cfg_out = run_model(x, sc)
 

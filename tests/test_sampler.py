@@ -171,3 +171,24 @@ def test_sampler_img2img_partial_schedule():
                           init_sample=init)
     assert dbg["sample_std"].shape[0] == 3
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_seamless_with_ref_conditioning():
+    """Seamless loop + reference conditioning: the ref rides the same
+    torus roll+pad as the sample (was NotImplementedError in round 1)."""
+    shapes = []
+
+    def denoise(x, sigma, ref):
+        shapes.append((x.shape, ref.shape))
+        return x * 0.5 + ref[..., :x.shape[-1]] * 0.1
+
+    ref = jnp.ones((1, 8, 16, 2))
+    params = SampleParams(steps=3, use_heun=False, cfg_scale=1.0,
+                          seamless_loop=True)
+    out, _ = edm_sample(denoise, (1, 8, 16, 2), params, 100.0, 0.01, 1.0,
+                        jax.random.PRNGKey(0), use_cfg=False, x_ref=ref)
+    assert out.shape == (1, 8, 16, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    # ref was padded alongside the sample (W + 2*LOOP_PAD)
+    from dualdiffusion_tpu.sampling.sampler import LOOP_PAD
+    assert all(r[-2] == 16 + 2 * LOOP_PAD for _, r in shapes)
