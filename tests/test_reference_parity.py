@@ -77,11 +77,16 @@ def _install_stubs():
                         waveform, (self.pad, self.pad))
                 shape = waveform.shape
                 wav = waveform.reshape(-1, shape[-1])
+                # torchaudio's normalized: True/"frame_length" -> torch.stft
+                # normalized; "window" -> divide by the window's L2 norm
+                frame_norm = self.normalized in (True, "frame_length")
                 spec = torch.stft(wav, self.n_fft, self.hop_length,
                                   self.win_length, self.window,
                                   center=self.center, pad_mode=self.pad_mode,
-                                  normalized=self.normalized,
+                                  normalized=frame_norm,
                                   onesided=self.onesided, return_complex=True)
+                if self.normalized == "window":
+                    spec = spec / self.window.pow(2.0).sum().sqrt()
                 spec = spec.reshape(shape[:-1] + spec.shape[-2:])
                 if self.power is not None:
                     spec = spec.abs() ** self.power
@@ -233,3 +238,48 @@ def test_ms_mdct_dual_v2_parity(ref_modules, clip):
     wr = min(ref_raw.shape[-1], my_raw.shape[-1])
     mse_raw = _rel_mse(my_raw[..., :wr], ref_raw[..., :wr])
     assert mse_raw < 1e-3, f"IMDCT audio rel MSE vs reference: {mse_raw}"
+
+
+def test_ms_mdct_dual_v1_parity(ref_modules, clip):
+    """MS_MDCT_Dual v1 (dual blackman-harris blend): mel spec,
+    mel->mdct-psd conditioning, and the MCLT path must match the reference
+    < 1e-3 rel MSE."""
+    _install_stubs()
+    from modules.formats.ms_mdct_dual import (  # noqa: E402
+        MS_MDCT_DualFormat as RefV1, MS_MDCT_DualFormatConfig as RefV1Cfg)
+    ref = RefV1(RefV1Cfg(sample_rate=32000, num_raw_channels=2))
+
+    from dualdiffusion_tpu.models.formats.ms_mdct_dual_v1 import (
+        MSMDCTDualV1Format, MSMDCTDualV1FormatConfig)
+    mine = MSMDCTDualV1Format(MSMDCTDualV1FormatConfig())
+
+    crop = mine.get_raw_crop_width(clip.shape[-1])
+    a_np = clip[:, :crop]
+    a_t = torch.from_numpy(a_np)[None]
+
+    ref_mel = ref.raw_to_mel_spec(a_t).numpy()          # (B, C, F, T')
+    my_mel = np.transpose(np.asarray(mine.raw_to_mel_spec(a_np[None])),
+                          (0, 3, 1, 2))
+    w = min(ref_mel.shape[-1], my_mel.shape[-1])
+    mse = _rel_mse(my_mel[..., :w], ref_mel[..., :w])
+    assert mse < 1e-3, f"v1 mel rel MSE vs reference: {mse}"
+
+    ref_psd = ref.mel_spec_to_mdct_psd(
+        torch.from_numpy(ref_mel[..., :w]).float()).numpy()
+    my_psd = np.transpose(np.asarray(mine.mel_spec_to_mdct_psd(
+        np.transpose(my_mel[..., :w], (0, 2, 3, 1)))), (0, 3, 1, 2))
+    mse_psd = _rel_mse(my_psd, ref_psd)
+    assert mse_psd < 1e-3, f"v1 mel->mdct_psd rel MSE vs reference: {mse_psd}"
+
+    ref_mdct = ref.raw_to_mdct(a_t).numpy()             # (B, C, N, frames)
+    my_mdct = np.transpose(np.asarray(mine.raw_to_mdct(a_np[None])),
+                           (0, 3, 1, 2))
+    wf = min(ref_mdct.shape[-1], my_mdct.shape[-1])
+    mse_m = _rel_mse(my_mdct[..., :wf], ref_mdct[..., :wf])
+    assert mse_m < 1e-3, f"v1 MCLT rel MSE vs reference: {mse_m}"
+
+    ref_raw = ref.mdct_to_raw(torch.from_numpy(ref_mdct).float()).numpy()
+    my_raw = np.asarray(mine.mdct_to_raw(my_mdct.transpose(0, 2, 3, 1)))
+    wr = min(ref_raw.shape[-1], my_raw.shape[-1])
+    mse_r = _rel_mse(my_raw[..., :wr], ref_raw[..., :wr])
+    assert mse_r < 1e-3, f"v1 IMCLT audio rel MSE vs reference: {mse_r}"
