@@ -94,6 +94,13 @@ class MPConv(nn.Module):
     def _conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         w = w.astype(x.dtype)
         nd = len(self.kernel)
+        if self.groups > 1:
+            # XLA lowers feature_group_count convs DENSELY on TPU
+            # (zero-padded block-diagonal weights): measured 857 GFLOP of
+            # grouped conv running no faster than the 5.7 TFLOP dense
+            # equivalent at mlp_groups=8. Each kernel tap becomes a
+            # dot_general batched over groups instead.
+            return self._grouped_conv(x, w)
         if nd == 2:
             kh, kw = self.kernel
             # torch pads (k//2, k//2) on both sides
@@ -123,6 +130,56 @@ class MPConv(nn.Module):
                 padding=pads, dimension_numbers=dn,
                 feature_group_count=self.groups)
         raise ValueError(f"unsupported kernel rank {nd}")
+
+    def _grouped_conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Grouped conv as per-tap group-batched matmuls (MXU-native).
+
+        2D x: (B, H, W, C); 3D x: (B, Z, H, W, C). Weights
+        (C_out, C_in/g, *kernel) with group-major channel order — identical
+        semantics to conv_general_dilated(feature_group_count=g).
+        """
+        g = self.groups
+        nd = len(self.kernel)
+        if nd == 2:
+            kz, (kh, kw) = 1, self.kernel
+            x5 = x[:, None]                      # (B, 1, H, W, C)
+        else:
+            kz, kh, kw = self.kernel
+            x5 = x
+            if kz == 2:                          # circular stereo wrap
+                x5 = jnp.concatenate([x5, x5[:, 0:1]], axis=1)
+        b, z_in, h, w_in, ci = x5.shape
+        cig = ci // g
+        cog = w.shape[0] // g
+        # kz==1: passthrough; kz==2: valid conv on the wrapped axis;
+        # kz==3: same-padded below
+        z_out = z_in - 1 if kz == 2 else z_in
+        s = self.stride
+        h_out = (h - 1) // s + 1
+        w_out = (w_in - 1) // s + 1
+
+        pads = [(0, 0), (1, 1) if kz == 3 else (0, 0),
+                (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)]
+        xp = jnp.pad(x5, pads)
+        xg = xp.reshape(xp.shape[:-1] + (g, cig))
+        # (g*cog, cig, [kz,]kh,kw) -> taps of (g, cig, cog)
+        wt = w.reshape((g, cog, cig) + ((kz,) if nd == 3 else (1,)) + (kh, kw))
+        wt = jnp.transpose(wt, (3, 4, 5, 0, 2, 1))  # (kz,kh,kw,g,cig,cog)
+
+        h_span = (h_out - 1) * s + 1
+        w_span = (w_out - 1) * s + 1
+        out = None
+        for dz in range(kz):
+            for dy in range(kh):
+                for dx in range(kw):
+                    xs = xg[:, dz:dz + z_out,
+                            dy:dy + h_span:s, dx:dx + w_span:s]
+                    part = jnp.einsum("bzhwgi,gio->bzhwgo", xs,
+                                      wt[dz, dy, dx],
+                                      preferred_element_type=x.dtype)
+                    out = part if out is None else out + part
+        out = out.reshape(b, z_out, h_out, w_out, g * cog)
+        return out[:, 0] if nd == 2 else out
 
 
 class MPFourier(nn.Module):

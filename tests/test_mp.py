@@ -226,3 +226,54 @@ def test_filtered_downsample_module(key):
     params = m.init(key, x)
     y = m.apply(params, x)
     assert y.shape == (1, 8, 8, 3)
+
+
+def test_grouped_conv_matches_lax_conv(rng):
+    """The per-tap batched-matmul grouped conv path must equal
+    lax.conv_general_dilated(feature_group_count) exactly."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.layers import MPConv
+
+    def lax_ref(x, w, groups, stride, kernel):
+        nd = len(kernel)
+        if nd == 2:
+            kh, kw = kernel
+            rhs = jnp.transpose(w, (2, 3, 1, 0))
+            dn = jax.lax.conv_dimension_numbers(x.shape, rhs.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                x, rhs, (stride, stride), [(kh // 2, kh // 2),
+                                           (kw // 2, kw // 2)],
+                dimension_numbers=dn, feature_group_count=groups)
+        kz, kh, kw = kernel
+        if kz == 2:
+            x = jnp.concatenate([x, x[:, 0:1]], axis=1)
+            pad_z = (0, 0)
+        elif kz == 3:
+            pad_z = (1, 1)
+        else:
+            pad_z = (0, 0)
+        rhs = jnp.transpose(w, (2, 3, 4, 1, 0))
+        dn = jax.lax.conv_dimension_numbers(x.shape, rhs.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            x, rhs, (1, stride, stride),
+            [pad_z, (kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=dn, feature_group_count=groups)
+
+    cases = [((3, 3), (2, 8, 12, 16), 4, 1),
+             ((3, 3), (2, 8, 12, 16), 4, 2),
+             ((1, 1), (2, 8, 12, 16), 8, 1),
+             ((2, 3, 3), (2, 2, 8, 12, 16), 4, 1),
+             ((3, 3, 3), (2, 3, 8, 12, 16), 4, 1)]
+    for kernel, xshape, groups, stride in cases:
+        ci, co = xshape[-1], 24
+        x = jnp.asarray(rng.standard_normal(xshape).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal(
+            (co, ci // groups) + kernel).astype(np.float32))
+        conv = MPConv(ci, co, kernel, groups=groups, stride=stride)
+        got = conv._grouped_conv(x, w)
+        want = lax_ref(x, w, groups, stride, kernel)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5), (kernel, stride)
