@@ -185,9 +185,11 @@ class UNetBlock(nn.Module):
         k = normalize(qk_h[..., 1, :], axis=-1)
         vh = normalize(v_s.reshape(bs, seq, num_heads, hd), axis=-1)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        y = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(bs, seq, ch)
+        from .attention import scaled_dot_product_attention
+        y = scaled_dot_product_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(vh, 1, 2), scale=1.0 / np.sqrt(hd))
+        y = jnp.swapaxes(y, 1, 2).astype(x.dtype).reshape(bs, seq, ch)
 
         # undo the fold
         if cfg.attn_axis == "full":
