@@ -160,6 +160,7 @@ class ModuleHandle:
     config: Any
     module: Any            # flax module (or Format instance)
     variables: Optional[Any] = None
+    device: Optional[Any] = None   # committed placement, set by Pipeline.to
 
 
 class Pipeline:
@@ -182,6 +183,34 @@ class Pipeline:
             if h.module_type.startswith("format:"):
                 return h.module
         return None
+
+    # ---- device placement ------------------------------------------------
+    def to(self, device: Optional[Any] = None,
+           device_map: Optional[Dict[str, Any]] = None) -> "Pipeline":
+        """Commit each module's variables to a device.
+
+        ``device`` places every module; ``device_map`` overrides per module
+        name. Devices may be ``jax.Device`` objects or platform strings
+        ("tpu", "cpu:1"). Heterogeneous maps reproduce the reference's
+        per-module placement (reference:
+        src/pipelines/dual_diffusion_pipeline.py:139-166 — e.g. offloading
+        the VAE to CPU while the UNet samples on the accelerator): jitted
+        stages run on whichever device their committed arguments live on.
+        """
+        def resolve(d):
+            if d is None or not isinstance(d, str):
+                return d
+            platform, _, idx = d.partition(":")
+            return jax.devices(platform)[int(idx) if idx else 0]
+
+        base = resolve(device)
+        overrides = {k: resolve(v) for k, v in (device_map or {}).items()}
+        for name, h in self.modules.items():
+            dev = overrides.get(name, base)
+            if dev is not None and h.variables is not None:
+                h.variables = jax.device_put(h.variables, dev)
+                h.device = dev
+        return self
 
     # ---- io ------------------------------------------------------------
     def save_pretrained(self, model_path: Union[str, Path],
@@ -295,6 +324,12 @@ class Pipeline:
             module_name = "unet_inpainting"
         h = self.modules[module_name]
         unet, uvars, ucfg = h.module, h.variables, h.config
+        if h.device is not None:
+            # heterogeneous placement: stage inputs follow the module
+            x_ref, init_sample, inpainting_mask, audio_embedding = (
+                jax.device_put(t, h.device) if t is not None else None
+                for t in (x_ref, init_sample, inpainting_mask,
+                          audio_embedding))
 
         # inpainting / img2img reference channels: the converted inpainting
         # unet expects out_channels reference + 1 mask extra in-channels
@@ -429,6 +464,10 @@ class Pipeline:
                 audio_embedding=prompt_embedding, init_sample=init,
                 inpainting_mask=inpainting_mask,
                 chunk_size=chunk_size, chunk_callback=chunk_callback)
+            if dae_h.device is not None:
+                # heterogeneous placement: move the stage input to the
+                # DAE's committed device (jit rejects mixed placements)
+                latents = jax.device_put(latents, dae_h.device)
             mel = dae_h.module.apply(dae_h.variables, latents,
                                      method=_DAE.decode).astype(jnp.float32)
         else:

@@ -165,3 +165,21 @@ def test_ddec_width_alignment():
     assert mdct[2] == mel_shape[2]
     # and the raw-length-derived grid agrees frame-for-frame
     assert fmt.get_mdct_shape(1, 65536)[2] == mel_shape[2]
+
+
+def test_per_module_device_placement(key):
+    """Pipeline.to commits each module's params to its mapped device and
+    generate still runs with a heterogeneous map (virtual 8-CPU mesh)."""
+    pipe = make_pipeline(key)
+    devs = jax.devices()
+    assert len(devs) >= 2, "conftest provides 8 virtual CPU devices"
+    pipe.to(device="cpu:0", device_map={"unet": "cpu:1"})
+    unet_leaf = jax.tree_util.tree_leaves(pipe.modules["unet"].variables)[0]
+    dae_leaf = jax.tree_util.tree_leaves(pipe.modules["dae"].variables)[0]
+    assert unet_leaf.devices() == {devs[1]}
+    assert dae_leaf.devices() == {devs[0]}
+    assert pipe.modules["unet"].device == devs[1]
+    params = SampleParams(steps=1, use_heun=False, cfg_scale=1.0,
+                          length=4096, batch_size=1, num_fgla_iters=1)
+    out = pipe.generate(params, key)
+    assert bool(jnp.isfinite(out["raw"]).all())
