@@ -1,0 +1,129 @@
+"""Digit-order polyphase FGLA: transforms, fused middle, loop parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualdiffusion_tpu.ops import get_window
+from dualdiffusion_tpu.ops.fgla import griffinlim
+from dualdiffusion_tpu.ops.fgla_fast import (dft_digit_fwd, dft_digit_inv,
+                                             digit_to_natural,
+                                             griffinlim_fast,
+                                             hermitian_extend,
+                                             natural_to_digit,
+                                             ola_reframe_jnp)
+from dualdiffusion_tpu.ops.pallas.ola_reframe import ola_reframe
+from dualdiffusion_tpu.ops.stft import stft
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_digit_transforms_match_numpy_fft(rng):
+    n = 1024
+    x = jnp.asarray(rng.standard_normal((3, n // 128, 128)).astype(np.float32))
+    xr, xi = dft_digit_fwd(x, n)
+    want = np.fft.fft(np.asarray(x).reshape(3, n))
+    got = (np.asarray(digit_to_natural(xr, n))
+           + 1j * np.asarray(digit_to_natural(xi, n)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+    y = dft_digit_inv(xr, xi, n)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-6)
+
+
+def test_digit_transforms_padded_rows_zero(rng):
+    """Sublane-padded t1/k1 rows stay exactly zero through both
+    directions (zero basis rows), even with finite garbage in the pad rows
+    (NaN garbage would leak as NaN*0 — the ola_reframe kernel therefore
+    zeroes its output pad rows explicitly)."""
+    n = 1280                               # n1 = 10 -> padded to 16
+    x = rng.standard_normal((2, 16, 128)).astype(np.float32)
+    x[:, 10:] = 1e30                       # finite garbage must not leak
+    xr, xi = dft_digit_fwd(jnp.asarray(x), n)
+    assert np.isfinite(np.asarray(xr)).all()
+    assert np.abs(np.asarray(xr)[:, 10:]).max() == 0.0
+    y = dft_digit_inv(xr, xi, n)
+    clean = x.copy()
+    clean[:, 10:] = 0.0
+    np.testing.assert_allclose(np.asarray(y)[:, :10],
+                               clean[:, :10], atol=2e-5)
+
+
+def test_hermitian_extend_matches_full_fft(rng):
+    n = 512
+    s = rng.standard_normal(n).astype(np.float32)
+    half = np.fft.rfft(s)
+    er, ei = hermitian_extend(jnp.asarray(half.real.astype(np.float32))[None],
+                              jnp.asarray(half.imag.astype(np.float32))[None],
+                              n)
+    full = np.fft.fft(s)
+    np.testing.assert_allclose(np.asarray(er)[0], full.real, rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ei)[0], full.imag, rtol=1e-4,
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("f,n1,n1s,bfr", [
+    (40, 10, 16, 10),     # padded storage, multi-block
+    (64, 8, 8, 16),       # unpadded
+    (24, 10, 16, 24),     # single block
+    (86, 50, 56, 43),     # flagship n1, clamped halo (tb > F)
+])
+def test_ola_reframe_kernel_matches_jnp(rng, f, n1, n1s, bfr):
+    y = jnp.asarray(rng.standard_normal((1, 2, f, n1s, 128)).astype(np.float32))
+    win = np.zeros((n1s, 128), np.float32)
+    win[:n1] = rng.random((n1, 128)) + 0.1
+    inv_env = jnp.asarray(
+        rng.random(((f - 1) * 2 + n1, 128)).astype(np.float32) + 0.5)
+    want = ola_reframe_jnp(y[..., :n1, :], jnp.asarray(win[:n1]), inv_env, 2)
+    got = ola_reframe(y, jnp.asarray(win), inv_env, n1_true=n1,
+                      block_frames=bfr, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[..., :n1, :]),
+                               np.asarray(want), atol=2e-5)
+    if n1s > n1:
+        assert np.abs(np.asarray(got[..., n1:, :])).max() == 0.0
+
+
+def _tone_mag(n_fft, hop, frames):
+    win = get_window("hann_power", n_fft, exponent=8.0)
+    t = np.arange((frames - 1) * hop) / 32000
+    sig = np.stack([np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 991 * t),
+                    np.sin(2 * np.pi * 440 * t) * 0.8]).astype(np.float32)[None]
+    mag = jnp.abs(stft(jnp.asarray(sig), win, n_fft, hop, backend="fft"))
+    return mag, win
+
+
+def test_griffinlim_fast_converges_like_legacy():
+    """Same spectral-convergence quality as ops.fgla.griffinlim (the two
+    amplify different rounding noise in dead bins, so waveforms diverge
+    chaotically — quality, not samples, is the parity criterion)."""
+    n_fft, hop, frames = 1280, 256, 41
+    mag, win = _tone_mag(n_fft, hop, frames)
+
+    def conv_err(out):
+        m2 = jnp.abs(stft(out, win, n_fft, hop, backend="fft"))
+        return float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
+
+    a = griffinlim(mag, win, n_fft, hop, n_iter=40, momentum=0.99,
+                   work_dtype="float32", backend="fft")
+    b = griffinlim_fast(mag, win, n_fft, hop, n_iter=40, momentum=0.99,
+                        work_dtype="float32", use_pallas=False)
+    ea, eb = conv_err(a), conv_err(b)
+    assert eb < max(2.0 * ea, 0.15), (ea, eb)
+
+
+def test_griffinlim_fast_single_iteration_matches_legacy():
+    """One projection step (before chaos can amplify noise) matches the
+    legacy loop closely on live bins."""
+    n_fft, hop, frames = 1280, 256, 41
+    mag, win = _tone_mag(n_fft, hop, frames)
+    a = np.asarray(griffinlim(mag, win, n_fft, hop, n_iter=1, momentum=0.99,
+                              work_dtype="float32", backend="fft"))
+    b = np.asarray(griffinlim_fast(mag, win, n_fft, hop, n_iter=1,
+                                   momentum=0.99, work_dtype="float32",
+                                   use_pallas=False))
+    denom = np.abs(a).max()
+    assert np.abs(a - b).max() / denom < 0.02
