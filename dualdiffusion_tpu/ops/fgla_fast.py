@@ -236,9 +236,16 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                     stereo_coherence: float = 0.67,
                     length: Optional[int] = None,
                     work_dtype: str = "bfloat16",
-                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                    use_pallas: Optional[bool] = None,
+                    fuse_transforms: Optional[bool] = None) -> jnp.ndarray:
     """Drop-in equivalent of ops.fgla.griffinlim (flat phase init) using the
-    digit-order polyphase iteration. specgram: (B, C, frames, bins)."""
+    digit-order polyphase iteration. specgram: (B, C, frames, bins).
+
+    ``fuse_transforms`` (default: follow use_pallas when supported) runs
+    the k1-major fully-fused iteration: the sublane CT stages + twiddles
+    live inside the Pallas middle kernel (ops/pallas/fgla_middle.py) and
+    XLA only executes lane-dim matmuls and elementwise steps.
+    """
     if not 0 <= momentum < 1:
         raise ValueError(f"momentum must be in [0, 1), got {momentum}")
     mom = momentum / (1.0 + momentum)
@@ -288,6 +295,13 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if fuse_transforms is None:
+        from .pallas.fgla_middle import fgla_middle_supported
+        fuse_transforms = use_pallas and fgla_middle_supported(f, n1)
+    if fuse_transforms:
+        return _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w,
+                           n_fft, n1, n1p, n2, hop_length, n_iter,
+                           stereo_coherence, wd, bins, length, win)
     if use_pallas:
         from .pallas.ola_reframe import ola_reframe
 
@@ -329,5 +343,74 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                              n_fft)[..., :bins]
     ang_i = digit_to_natural(ang_i.astype(jnp.float32)[..., :n1, :],
                              n_fft)[..., :bins]
+    return _istft(jax.lax.complex(ang_r * spec, ang_i * spec), win, n_fft,
+                  hop_length, length=length)
+
+
+def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w, n_fft, n1,
+                n1p, n2, hop_length, n_iter, stereo_coherence, wd, bins,
+                length, win):
+    """k1-major fused iteration: lane-stage matmuls + elementwise in XLA,
+    everything touching the sublane grid axis inside fgla_middle."""
+    from .pallas.fgla_middle import fgla_middle
+
+    b, c, f = spec_w.shape[:3]
+    # k1-major state: (B, C, n1p, F, n2)
+    spec_k = jnp.swapaxes(spec_w, 2, 3)
+    merged_k = jnp.swapaxes(merged_w, 2, 3)
+    spec_k, merged_k = jax.lax.optimization_barrier((spec_k, merged_k))
+
+    _, _, (f1r, f1i), (f2r, f2i), (twr, twi) = _digit_bases(n_fft, n2, n1p)
+    # lane-stage matrices (n2 x n2)
+    g2r_m = jnp.asarray(f2r / n2, wd)
+    g2i_m = jnp.asarray(-f2i / n2, wd)
+    f2r_m = jnp.asarray(f2r, wd)
+    f2i_m = jnp.asarray(f2i, wd)
+    # kernel constants: conjugated/forward twiddles, stacked n1-stage bases
+    ctw = (twr, -twi)
+    ftw = (twr, twi)
+    g_stack = np.hstack([(f1r / n1).T, (f1i / n1).T])    # (n1p, 2*n1p)
+    f_stack = np.vstack([f1r.T, f1i.T])                  # (2*n1p, n1p)
+
+    prec = _fft._MATMUL_PRECISION
+
+    def mm(x, m):
+        return jnp.matmul(x, m, precision=prec)
+
+    def body(i, carry):
+        ang_r, ang_i, prev_r, prev_i = carry
+        t = (i.astype(jnp.float32) / n_iter - stereo_coherence).astype(wd)
+        interp = jnp.where(t > 0, merged_k + (spec_k - merged_k) * t,
+                           merged_k)
+        xr = ang_r * interp
+        xi = ang_i * interp
+        # inverse lane stage (contract k2)
+        z1r = mm(xr, g2r_m) - mm(xi, g2i_m)
+        z1i = mm(xr, g2i_m) + mm(xi, g2r_m)
+        # fused conj-twiddle + n1 stages + polyphase middle + fwd twiddle
+        z2r, z2i = fgla_middle(z1r, z1i, win_gp, inv_env, ctw, ftw,
+                               g_stack, f_stack, n1_true=n1)
+        # forward lane stage (contract t2)
+        rr = mm(z2r, f2r_m) - mm(z2i, f2i_m)
+        ri = mm(z2r, f2i_m) + mm(z2i, f2r_m)
+        rr, ri = rr.astype(wd), ri.astype(wd)
+        nr = rr - mom_w * prev_r
+        ni = ri - mom_w * prev_i
+        mag = jnp.sqrt(nr * nr + ni * ni) + jnp.asarray(1e-12, wd)
+        return (nr / mag, ni / mag, rr, ri)
+
+    shape = (b, c, n1p, f, n2)
+    ang0 = jnp.zeros(shape, wd).at[..., :n1, :, :].set(1.0)
+    init = (ang0, jnp.zeros(shape, wd),
+            jnp.zeros(shape, wd), jnp.zeros(shape, wd))
+    ang_r, ang_i, _, _ = jax.lax.fori_loop(0, n_iter, body, init)
+
+    def to_natural(x):
+        x = x.astype(jnp.float32)[..., :n1, :, :]        # (b,c,n1,f,n2)
+        x = jnp.transpose(x, (0, 1, 3, 4, 2))            # (b,c,f,n2,n1)
+        return x.reshape(b, c, f, n1 * n2)[..., :bins]
+
+    ang_r = to_natural(ang_r)
+    ang_i = to_natural(ang_i)
     return _istft(jax.lax.complex(ang_r * spec, ang_i * spec), win, n_fft,
                   hop_length, length=length)

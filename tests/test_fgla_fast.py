@@ -127,3 +127,67 @@ def test_griffinlim_fast_single_iteration_matches_legacy():
                                    use_pallas=False))
     denom = np.abs(a).max()
     assert np.abs(a - b).max() / denom < 0.02
+
+
+def test_fgla_middle_fused_matches_composition(rng):
+    """fgla_middle (transforms-in-kernel) == jnp composition of
+    conj-twiddle -> inverse n1-stage -> polyphase middle -> forward
+    n1-stage -> twiddle, on the k1-major grid."""
+    from dualdiffusion_tpu.ops.fgla_fast import _digit_bases
+    from dualdiffusion_tpu.ops.pallas.fgla_middle import fgla_middle
+
+    n_fft, n2, n1, n1p, f = 1280, 128, 10, 16, 40
+    _, _, (f1r, f1i), _, (twr, twi) = _digit_bases(n_fft, n2, n1p)
+    z1r = jnp.asarray(rng.standard_normal((1, 2, n1p, f, n2)).astype(np.float32))
+    z1i = jnp.asarray(rng.standard_normal((1, 2, n1p, f, n2)).astype(np.float32))
+    z1r = z1r.at[..., n1:, :, :].set(0.0)
+    z1i = z1i.at[..., n1:, :, :].set(0.0)
+    win = np.zeros((n1p, n2), np.float32)
+    win[:n1] = rng.random((n1, n2)) + 0.1
+    inv_env = jnp.asarray(
+        rng.random(((f - 1) * 2 + n1, n2)).astype(np.float32) + 0.5)
+    g_stack = np.hstack([(f1r / n1).T, (f1i / n1).T])
+    f_stack = np.vstack([f1r.T, f1i.T])
+    got = fgla_middle(z1r, z1i, win, inv_env, (twr, -twi), (twr, twi),
+                      g_stack, f_stack, n1_true=n1, interpret=True)
+
+    def kmaj_to_fmaj(x):
+        return jnp.swapaxes(x, 2, 3)
+
+    zr, zi = kmaj_to_fmaj(z1r), kmaj_to_fmaj(z1i)
+    twr_j, twi_j = jnp.asarray(twr), jnp.asarray(twi)
+    tzr = zr * twr_j + zi * twi_j
+    tzi = zi * twr_j - zr * twi_j
+    g1r, g1i = jnp.asarray(f1r / n1), jnp.asarray(f1i / n1)
+    y = (jnp.einsum("...kw,kt->...tw", tzr, g1r)
+         + jnp.einsum("...kw,kt->...tw", tzi, g1i))
+    y2 = ola_reframe_jnp(y[..., :n1, :], jnp.asarray(win[:n1]), inv_env, 2)
+    y2 = jnp.pad(y2, [(0, 0)] * 3 + [(0, n1p - n1), (0, 0)])
+    z2r = jnp.einsum("...tw,tk->...kw", y2, jnp.asarray(f1r))
+    z2i = jnp.einsum("...tw,tk->...kw", y2, jnp.asarray(f1i))
+    want_r = kmaj_to_fmaj(z2r * twr_j - z2i * twi_j)
+    want_i = kmaj_to_fmaj(z2r * twi_j + z2i * twr_j)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_r),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want_i),
+                               atol=3e-5)
+
+
+def test_griffinlim_fused_converges():
+    n_fft, hop, frames = 1280, 256, 40
+    mag, win = _tone_mag(n_fft, hop, frames + 1)
+    mag = mag[:, :, :frames]              # fused path needs F % 8 == 0
+
+    def conv_err(out):
+        m2 = jnp.abs(stft(out, win, n_fft, hop, backend="fft"))
+        f2 = min(m2.shape[2], mag.shape[2])
+        return float(jnp.linalg.norm(m2[:, :, :f2] - mag[:, :, :f2])
+                     / jnp.linalg.norm(mag))
+
+    a = griffinlim_fast(mag, win, n_fft, hop, n_iter=40, momentum=0.99,
+                        work_dtype="float32", use_pallas=False,
+                        fuse_transforms=False)
+    b = griffinlim_fast(mag, win, n_fft, hop, n_iter=40, momentum=0.99,
+                        work_dtype="float32", fuse_transforms=True)
+    ea, eb = conv_err(a), conv_err(b)
+    assert eb < max(1.5 * ea, 0.2), (ea, eb)
