@@ -56,7 +56,8 @@ class MPConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, gain: Union[float, jnp.ndarray] = 1.0,
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False, grouped_in: bool = False,
+                 grouped_out: bool = False) -> jnp.ndarray:
         kshape = (self.out_channels, self.in_channels // self.groups) + tuple(self.kernel)
         init = nn.initializers.zeros if self.zero_init else nn.initializers.normal(1.0)
         name = RAW_WEIGHT_NAME if self.disable_weight_norm else MP_WEIGHT_NAME
@@ -74,9 +75,11 @@ class MPConv(nn.Module):
         if len(self.kernel) == 0:
             out = jnp.matmul(x, w.T.astype(x.dtype))
         else:
-            out = self._conv(x, w)
+            out = self._conv(x, w, grouped_in=grouped_in,
+                             grouped_out=grouped_out)
 
         if not scalar_gain:
+            assert not grouped_out, "array gain requires merged NHWC output"
             if gain.ndim == 2:  # (B, C_out) -> (B, 1, ..., 1, C_out)
                 g = gain.reshape((gain.shape[0],) + (1,) * (out.ndim - 2) + (gain.shape[1],))
             else:               # (B,) -> (B, 1, ..., 1)
@@ -84,6 +87,7 @@ class MPConv(nn.Module):
             out = out * g.astype(out.dtype)
 
         if self.use_bias:
+            assert not grouped_out, "bias requires merged NHWC output"
             group_dim = self.out_channels // self.groups
             sign = np.where(np.arange(self.out_channels) % 2 == 0, 1.0, -1.0)
             bias = self.param("bias", lambda key, s: jnp.asarray(
@@ -91,7 +95,8 @@ class MPConv(nn.Module):
             out = out + bias.astype(out.dtype)
         return out
 
-    def _conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    def _conv(self, x: jnp.ndarray, w: jnp.ndarray, grouped_in: bool = False,
+              grouped_out: bool = False) -> jnp.ndarray:
         w = w.astype(x.dtype)
         nd = len(self.kernel)
         if self.groups > 1:
@@ -100,7 +105,9 @@ class MPConv(nn.Module):
             # grouped conv running no faster than the 5.7 TFLOP dense
             # equivalent at mlp_groups=8. Each kernel tap becomes a
             # dot_general batched over groups instead.
-            return self._grouped_conv(x, w)
+            return self._grouped_conv(x, w, grouped_in=grouped_in,
+                                      grouped_out=grouped_out)
+        assert not (grouped_in or grouped_out), "requires groups > 1"
         if nd == 2:
             kh, kw = self.kernel
             # torch pads (k//2, k//2) on both sides
@@ -131,25 +138,43 @@ class MPConv(nn.Module):
                 feature_group_count=self.groups)
         raise ValueError(f"unsupported kernel rank {nd}")
 
-    def _grouped_conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    def _grouped_conv(self, x: jnp.ndarray, w: jnp.ndarray,
+                      grouped_in: bool = False,
+                      grouped_out: bool = False) -> jnp.ndarray:
         """Grouped conv as per-tap group-batched matmuls (MXU-native).
 
         2D x: (B, H, W, C); 3D x: (B, Z, H, W, C). Weights
         (C_out, C_in/g, *kernel) with group-major channel order — identical
         semantics to conv_general_dilated(feature_group_count=g).
+
+        ``grouped_in``/``grouped_out`` accept/produce the dot_general
+        batch-major layout (G, B, Z, H, W, C/g) instead of channel-merged
+        NHWC. XLA relayouts activations into exactly this form around
+        every group-batched dot (measured 24% of the ref-scale forward as
+        pure "data formatting"), so back-to-back grouped convs should
+        pass it through and pay the reformat once per chain.
         """
         g = self.groups
         nd = len(self.kernel)
         if nd == 2:
             kz, (kh, kw) = 1, self.kernel
-            x5 = x[:, None]                      # (B, 1, H, W, C)
         else:
             kz, kh, kw = self.kernel
-            x5 = x
+
+        if grouped_in:
+            x6 = x                               # (G, B, Z, H, W, cig)
+            if nd == 2 and x6.ndim == 5:
+                x6 = x6[:, :, None]
+        else:
+            x5 = x[:, None] if nd == 2 else x    # (B, Z, H, W, C)
             if kz == 2:                          # circular stereo wrap
                 x5 = jnp.concatenate([x5, x5[:, 0:1]], axis=1)
-        b, z_in, h, w_in, ci = x5.shape
-        cig = ci // g
+            x6 = x5.reshape(x5.shape[:-1] + (g, x5.shape[-1] // g))
+            x6 = jnp.moveaxis(x6, -2, 0)         # (G, B, Z, H, W, cig)
+        if grouped_in and kz == 2:
+            x6 = jnp.concatenate([x6, x6[:, :, 0:1]], axis=2)
+
+        _, b, z_in, h, w_in, cig = x6.shape
         cog = w.shape[0] // g
         # kz==1: passthrough; kz==2: valid conv on the wrapped axis;
         # kz==3: same-padded below
@@ -158,10 +183,9 @@ class MPConv(nn.Module):
         h_out = (h - 1) // s + 1
         w_out = (w_in - 1) // s + 1
 
-        pads = [(0, 0), (1, 1) if kz == 3 else (0, 0),
+        pads = [(0, 0), (0, 0), (1, 1) if kz == 3 else (0, 0),
                 (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)]
-        xp = jnp.pad(x5, pads)
-        xg = xp.reshape(xp.shape[:-1] + (g, cig))
+        xg = jnp.pad(x6, pads)
         # (g*cog, cig, [kz,]kh,kw) -> taps of (g, cig, cog)
         wt = w.reshape((g, cog, cig) + ((kz,) if nd == 3 else (1,)) + (kh, kw))
         wt = jnp.transpose(wt, (3, 4, 5, 0, 2, 1))  # (kz,kh,kw,g,cig,cog)
@@ -172,12 +196,15 @@ class MPConv(nn.Module):
         for dz in range(kz):
             for dy in range(kh):
                 for dx in range(kw):
-                    xs = xg[:, dz:dz + z_out,
+                    xs = xg[:, :, dz:dz + z_out,
                             dy:dy + h_span:s, dx:dx + w_span:s]
-                    part = jnp.einsum("bzhwgi,gio->bzhwgo", xs,
+                    part = jnp.einsum("gbzhwi,gio->gbzhwo", xs,
                                       wt[dz, dy, dx],
                                       preferred_element_type=x.dtype)
                     out = part if out is None else out + part
+        if grouped_out:
+            return out[:, :, 0] if nd == 2 else out
+        out = jnp.moveaxis(out, 0, -2)           # (B, Z, H, W, G, cog)
         out = out.reshape(b, z_out, h_out, w_out, g * cog)
         return out[:, 0] if nd == 2 else out
 

@@ -102,14 +102,27 @@ class UNetBlock(nn.Module):
 
         c_mid = self.out_channels * cfg.mlp_multiplier
         c_in_res0 = self.out_channels if self.flavor == "enc" else self.in_channels
+        # with mlp_groups > 1 the pair of grouped convs passes the
+        # dot_general batch-major (G, B, ..., C/g) layout straight through
+        # (the elementwise modulation between them is layout-agnostic),
+        # paying XLA's group relayout once per chain instead of per conv
+        grouped = cfg.mlp_groups > 1
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
-                   groups=cfg.mlp_groups, name="conv_res0")(mp_silu(x), training=training)
+                   groups=cfg.mlp_groups, name="conv_res0")(
+            mp_silu(x), training=training, grouped_out=grouped)
 
         if self.emb_channels > 0 and emb is not None:
             emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
             c = MPConv(self.emb_channels, c_mid, (), groups=cfg.emb_linear_groups,
                        name="emb_linear")(emb, gain=emb_gain, training=training) + 1.0
-            c = c.reshape((c.shape[0],) + (1,) * (y.ndim - 2) + (c.shape[-1],))
+            if grouped:
+                # (B, c_mid) group-major -> (G, B, 1, ..., 1, c_mid/G)
+                cg = c.reshape(c.shape[0], cfg.mlp_groups, -1)
+                cg = jnp.moveaxis(cg, 1, 0)
+                c = cg.reshape(cg.shape[:2] + (1,) * (y.ndim - 3)
+                               + cg.shape[-1:])
+            else:
+                c = c.reshape((c.shape[0],) + (1,) * (y.ndim - 2) + (c.shape[-1],))
             y = y * c.astype(y.dtype)
         y = mp_silu(y)
 
@@ -120,7 +133,8 @@ class UNetBlock(nn.Module):
             y = jnp.where(keep, y / (1.0 - cfg.dropout), 0.0) * (1.0 - cfg.dropout) ** 0.5
 
         y = MPConv(c_mid, self.out_channels, _conv_kernel(cfg, (3, 3)),
-                   groups=cfg.mlp_groups, name="conv_res1")(y, training=training)
+                   groups=cfg.mlp_groups, name="conv_res1")(
+            y, training=training, grouped_in=grouped)
 
         if self.flavor == "dec" and self.in_channels != self.out_channels:
             x = MPConv(self.in_channels, self.out_channels,

@@ -277,3 +277,27 @@ def test_grouped_conv_matches_lax_conv(rng):
         want = lax_ref(x, w, groups, stride, kernel)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5), (kernel, stride)
+
+
+def test_grouped_conv_chain_layout(rng):
+    """grouped_out -> grouped_in chaining matches two merged-NHWC grouped
+    convs exactly (the batch-major layout is a pure relayout)."""
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.layers import MPConv
+
+    for kernel, xshape in [((3, 3), (2, 8, 12, 16)),
+                           ((3, 3, 3), (2, 3, 8, 12, 16))]:
+        g, cmid, co = 4, 32, 16
+        ci = xshape[-1]
+        x = jnp.asarray(rng.standard_normal(xshape).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal(
+            (cmid, ci // g) + kernel).astype(np.float32))
+        w2 = jnp.asarray(rng.standard_normal(
+            (co, cmid // g) + kernel).astype(np.float32))
+        c1 = MPConv(ci, cmid, kernel, groups=g)
+        c2 = MPConv(cmid, co, kernel, groups=g)
+        want = c2._grouped_conv(c1._grouped_conv(x, w1), w2)
+        mid = c1._grouped_conv(x, w1, grouped_out=True)
+        got = c2._grouped_conv(mid, w2, grouped_in=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
