@@ -361,11 +361,13 @@ def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w, n_fft, n1,
     spec_k, merged_k = jax.lax.optimization_barrier((spec_k, merged_k))
 
     _, _, (f1r, f1i), (f2r, f2i), (twr, twi) = _digit_bases(n_fft, n2, n1p)
-    # lane-stage matrices (n2 x n2)
-    g2r_m = jnp.asarray(f2r / n2, wd)
-    g2i_m = jnp.asarray(-f2i / n2, wd)
-    f2r_m = jnp.asarray(f2r, wd)
-    f2i_m = jnp.asarray(f2i, wd)
+    # lane-stage matrices as ONE stacked-complex (2*n2 x 2*n2) matmul:
+    # [xr | xi] @ [[Mr, Mi], [-Mi, Mr]] = [xr@Mr - xi@Mi | xr@Mi + xi@Mr].
+    # Measured on v5e: (M,128)@(128,128) runs at 12 TFLOP/s (bandwidth
+    # floor), (M,256)@(256,256) at 40 — one wide matmul beats four narrow
+    g2r, g2i = f2r / n2, -f2i / n2
+    w_inv = jnp.asarray(np.block([[g2r, g2i], [-g2i, g2r]]), wd)
+    w_fwd = jnp.asarray(np.block([[f2r, f2i], [-f2i, f2r]]), wd)
     # kernel constants: conjugated/forward twiddles, stacked n1-stage bases
     ctw = (twr, -twi)
     ftw = (twr, twi)
@@ -384,16 +386,15 @@ def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w, n_fft, n1,
                            merged_k)
         xr = ang_r * interp
         xi = ang_i * interp
-        # inverse lane stage (contract k2)
-        z1r = mm(xr, g2r_m) - mm(xi, g2i_m)
-        z1i = mm(xr, g2i_m) + mm(xi, g2r_m)
+        # inverse lane stage (contract k2), stacked-complex
+        z1 = mm(jnp.concatenate([xr, xi], axis=-1), w_inv)
         # fused conj-twiddle + n1 stages + polyphase middle + fwd twiddle
-        z2r, z2i = fgla_middle(z1r, z1i, win_gp, inv_env, ctw, ftw,
-                               g_stack, f_stack, n1_true=n1)
-        # forward lane stage (contract t2)
-        rr = mm(z2r, f2r_m) - mm(z2i, f2i_m)
-        ri = mm(z2r, f2i_m) + mm(z2i, f2r_m)
-        rr, ri = rr.astype(wd), ri.astype(wd)
+        z2r, z2i = fgla_middle(z1[..., :n2], z1[..., n2:], win_gp, inv_env,
+                               ctw, ftw, g_stack, f_stack, n1_true=n1)
+        # forward lane stage (contract t2), stacked-complex
+        r2 = mm(jnp.concatenate([z2r, z2i], axis=-1), w_fwd)
+        rr = r2[..., :n2].astype(wd)
+        ri = r2[..., n2:].astype(wd)
         nr = rr - mom_w * prev_r
         ni = ri - mom_w * prev_i
         mag = jnp.sqrt(nr * nr + ni * ni) + jnp.asarray(1e-12, wd)

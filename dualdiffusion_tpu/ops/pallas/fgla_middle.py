@@ -88,27 +88,30 @@ def _fgla_middle_kernel(z1r_hbm, z1i_hbm, enve_hbm, envo_hbm, win_ref,
         cp.wait()
 
     # ---- conj twiddle + inverse n1-stage: y = Re(IDFT_n1(ctw * Z1)) ------
-    zr = z_both[pl.ds(0, n1s)].astype(jnp.float32)       # (n1s, tb, n2)
-    zi = z_both[pl.ds(n1s, n1s)].astype(jnp.float32)
-    ctr = ctwr_ref[...][:, None, :]                      # (n1s, 1, n2)
-    cti = ctwi_ref[...][:, None, :]
+    # the whole chain stays in the io dtype (bf16 in production): fp32
+    # value intermediates at this block size overflow the VMEM stack
+    wd = z_both.dtype
+    zr = z_both[pl.ds(0, n1s)]                           # (n1s, tb, n2)
+    zi = z_both[pl.ds(n1s, n1s)]
+    ctr = ctwr_ref[...][:, None, :].astype(wd)           # (n1s, 1, n2)
+    cti = ctwi_ref[...][:, None, :].astype(wd)
     tzr = zr * ctr - zi * cti
     tzi = zr * cti + zi * ctr
     zs = jnp.concatenate([tzr, tzi], axis=0)             # (2*n1s, tb, n2)
     # y[t1] = sum_k1 g1r[k1,t1] zr'[k1] + g1i[k1,t1] zi'[k1]
-    y = jnp.dot(gstack_ref[...], zs.reshape(2 * n1s, tb * n2),
-                preferred_element_type=jnp.float32)      # (n1s, tb*n2)
+    y = jnp.dot(gstack_ref[...].astype(wd), zs.reshape(2 * n1s, tb * n2),
+                preferred_element_type=jnp.float32).astype(wd)
     win = win_ref[...]                                   # (n1s, n2) f32
-    yw = y.reshape(n1s, tb, n2) * win[:, None, :]
+    yw = y.reshape(n1s, tb, n2) * win[:, None, :].astype(wd)
 
     # ---- overlap-add into parity row banks -------------------------------
     # frame j row r1 -> sig row 2*(a0+j) + r1: bank r1%2, index j + r1//2
     e_ref[...] = jnp.zeros_like(e_ref)
     o_ref[...] = jnp.zeros_like(o_ref)
     for q in range((n1 + 1) // 2):
-        e_ref[pl.ds(q, tb)] += yw[2 * q]
+        e_ref[pl.ds(q, tb)] += yw[2 * q].astype(jnp.float32)
         if 2 * q + 1 < n1:
-            o_ref[pl.ds(q, tb)] += yw[2 * q + 1]
+            o_ref[pl.ds(q, tb)] += yw[2 * q + 1].astype(jnp.float32)
     e_ref[...] *= ee_ref[...].reshape(e_ref.shape)
     o_ref[...] *= eo_ref[...].reshape(o_ref.shape)
 
@@ -118,10 +121,10 @@ def _fgla_middle_kernel(z1r_hbm, z1i_hbm, enve_hbm, envo_hbm, win_ref,
             q, par = divmod(r1, 2)
             bank = e_ref if par == 0 else o_ref
             rows = bank[pl.ds(off + q, bf)]              # (bf, n2)
-            y2_ref[r1] = rows * win[r1]
+            y2_ref[r1] = (rows * win[r1]).astype(y2_ref.dtype)
         if n1s > n1:
             y2_ref[pl.ds(n1, n1s - n1)] = jnp.zeros((n1s - n1, bf, n2),
-                                                    jnp.float32)
+                                                    y2_ref.dtype)
 
     def left_mirror():
         ne = (p + 1) // 2
@@ -150,7 +153,7 @@ def _fgla_middle_kernel(z1r_hbm, z1i_hbm, enve_hbm, envo_hbm, win_ref,
                     break
                 m, par = divmod(s, 2)
                 src = mirror_ev if par == 0 else mirror_od
-                y2_ref[r1, t, :] = src[m] * win[r1]
+                y2_ref[r1, t, :] = (src[m] * win[r1]).astype(y2_ref.dtype)
 
     def right_mirror():
         r_tot = 2 * (f_total - 1) + n1
@@ -187,7 +190,7 @@ def _fgla_middle_kernel(z1r_hbm, z1i_hbm, enve_hbm, envo_hbm, win_ref,
                     break
                 m, par = divmod(r, 2)
                 src = mirror_ev if par == 0 else mirror_od
-                y2_ref[r1, t, :] = src[m] * win[r1]
+                y2_ref[r1, t, :] = (src[m] * win[r1]).astype(y2_ref.dtype)
 
     if nb == 1:
         emit(0)
@@ -209,7 +212,8 @@ def _fgla_middle_kernel(z1r_hbm, z1i_hbm, enve_hbm, envo_hbm, win_ref,
             right_mirror()
 
     # ---- forward n1-stage + twiddle: Z2 = tw * DFT_n1(y2) ----------------
-    z2 = jnp.dot(fstack_ref[...], y2_ref[...].reshape(n1s, bf * n2),
+    z2 = jnp.dot(fstack_ref[...].astype(y2_ref.dtype),
+                 y2_ref[...].reshape(n1s, bf * n2),
                  preferred_element_type=jnp.float32)     # (2*n1s, bf*n2)
     z2 = z2.reshape(2 * n1s, bf, n2)
     z2r = z2[:n1s]
@@ -300,7 +304,7 @@ def fgla_middle(z1r: jnp.ndarray, z1i: jnp.ndarray, win_g: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * n1s, tb, n2), z1r.dtype),     # z_both
-            pltpu.VMEM((n1s, bf, n2), jnp.float32),       # y2
+            pltpu.VMEM((n1s, bf, n2), z1r.dtype),         # y2
             pltpu.VMEM((tb + rho, n2), jnp.float32),      # even bank
             pltpu.VMEM((tb + rho, n2), jnp.float32),      # odd bank
             pltpu.VMEM((tb + rho, 1, n2), jnp.float32),   # env even
@@ -311,7 +315,8 @@ def fgla_middle(z1r: jnp.ndarray, z1i: jnp.ndarray, win_g: jnp.ndarray,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(z1rf, z1if, env_e, env_o, jnp.asarray(win_g, jnp.float32),
       jnp.asarray(ctw[0], jnp.float32), jnp.asarray(ctw[1], jnp.float32),
