@@ -339,7 +339,11 @@ def filtered_mp_silu_2d(x: jnp.ndarray, k_size: int = 7, beta: float = 1.5) -> j
 
 class FilteredDownsample2D(nn.Module):
     """sin^2-separable FIR anti-aliased strided downsample used by the
-    supersampled-latent DAE encoders (reference: mp_tools.py:455-495)."""
+    supersampled-latent DAE encoders (reference: mp_tools.py:455-495).
+
+    Accepts (..., H, W, C) with any leading dims — the stereo-folded 3D
+    shape (B, Z, H, W, C) covers the reference's ``use_3d_shape`` variant
+    (mp_tools.py:482-492), which filters H/W per z-plane."""
     kernel: int = 16
     stride: int = 8
 
@@ -352,9 +356,12 @@ class FilteredDownsample2D(nn.Module):
         p2 = self.kernel // 2 - (self.kernel + 1) % 2
         padw = [(0, 0)] * (x.ndim - 3) + [(p1, p2), (p1, p2), (0, 0)]
         xp = jnp.pad(x, padw, mode="reflect")
+        lead = xp.shape[:-3]
+        xp = xp.reshape((-1,) + xp.shape[-3:])
         c = x.shape[-1]
         rhs = jnp.asarray(k2, x.dtype)[:, :, None, None] * jnp.ones((1, 1, 1, c), x.dtype)
         dn = jax.lax.conv_dimension_numbers(xp.shape, rhs.shape, ("NHWC", "HWIO", "NHWC"))
-        return jax.lax.conv_general_dilated(
+        out = jax.lax.conv_general_dilated(
             xp, rhs, window_strides=(self.stride, self.stride), padding="VALID",
             dimension_numbers=dn, feature_group_count=c)
+        return out.reshape(lead + out.shape[1:])

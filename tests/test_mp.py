@@ -301,3 +301,19 @@ def test_grouped_conv_chain_layout(rng):
         got = c2._grouped_conv(mid, w2, grouped_in=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_filtered_downsample_3d_shape(key):
+    """5-D (B, Z, H, W, C) input filters each z-plane independently
+    (reference mp_tools.py use_3d_shape variant)."""
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.layers import FilteredDownsample2D
+
+    m = FilteredDownsample2D(kernel=8, stride=4)
+    x5 = jax.random.normal(key, (2, 2, 16, 16, 3))
+    params = m.init(key, x5)
+    y5 = m.apply(params, x5)
+    assert y5.shape == (2, 2, 4, 4, 3)
+    # equals applying the 4-D op per z-plane
+    y_pl = jnp.stack([m.apply(params, x5[:, z]) for z in range(2)], axis=1)
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(y_pl), atol=1e-6)
