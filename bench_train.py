@@ -14,6 +14,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ref-scale", action="store_true",
+                    help="reference-default 356M UNet (4 latent channels)")
     args = ap.parse_args()
 
     import jax
@@ -25,15 +27,27 @@ def main():
                                             lr_schedule, make_unet_train_step)
 
     print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
-    cfg = UNetConfig(in_channels=8, out_channels=8, in_channels_emb=1024,
-                     model_channels=64, channel_mult=(1, 2, 3, 4),
-                     num_layers_per_block=2, attn_levels=(2, 3),
-                     attn_axis="freq", logvar_channels=128)
+    if args.ref_scale:
+        # /root/reference/config/models/default/unet.json
+        cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=1024,
+                         model_channels=256, channel_mult=(1, 2, 3, 4, 5),
+                         channel_mult_noise=1, channel_mult_emb=3,
+                         channels_per_head=64, num_layers_per_block=2,
+                         attn_levels=(3, 4), attn_axis="freq",
+                         mlp_multiplier=2, mlp_groups=8, logvar_channels=128,
+                         remat_blocks=True)
+    else:
+        cfg = UNetConfig(in_channels=8, out_channels=8, in_channels_emb=1024,
+                         model_channels=64, channel_mult=(1, 2, 3, 4),
+                         num_layers_per_block=2, attn_levels=(2, 3),
+                         attn_axis="freq", logvar_channels=128)
+    lat_c = cfg.in_channels
     model = UNet(cfg)
     key = jax.random.PRNGKey(0)
     b = args.batch
-    params = model.init(key, jnp.zeros((1, 32, 688, 8)), jnp.ones((1,)),
-                        jnp.zeros((1, 1024)), method=UNet.init_all)
+    params = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 32, 688, lat_c)), jnp.ones((1,)),
+        jnp.zeros((1, 1024)), method=UNet.init_all))(key)
 
     def apply_fn(p, x, sigma, emb, ref, k):
         return model.apply(p, x, sigma, emb, training=True, rngs={"dropout": k})
@@ -54,7 +68,7 @@ def main():
     state = init_train_state(params, opt, bank, tconf.sigma, key)
     rng = np.random.default_rng(0)
     batch = {"samples": jnp.asarray(rng.standard_normal(
-                 (b, 32, 688, 8)).astype(np.float32)),
+                 (b, 32, 688, lat_c)).astype(np.float32)),
              "embeddings": jnp.asarray(rng.standard_normal(
                  (b, 1024)).astype(np.float32))}
 

@@ -69,6 +69,11 @@ class UNetConfig:
     logvar_channels: int = 128
     use_3d: bool = False                # stereo-folded (B, Z, H, W, C) convs
     input_kernel: Tuple[int, int] = (3, 3)
+    #: rematerialize each residual block's activations in the backward
+    #: pass (jax.checkpoint) — trades ~30% more FLOPs for O(depth) less
+    #: activation memory; required to train the 356M reference-scale
+    #: model at batch 8 on a 16 GB chip. Inference paths are unaffected.
+    remat_blocks: bool = False
 
 
 def _conv_kernel(cfg: UNetConfig, k: Tuple[int, int], kz: int = 1) -> Tuple[int, ...]:
@@ -293,6 +298,9 @@ class UNetCore(nn.Module):
         emb = emb.astype(dtype)
 
         # ---- encoder ---------------------------------------------------------
+        # static_argnums counts self: __call__(self, x, emb, training)
+        Block = (nn.remat(UNetBlock, static_argnums=(3,))
+                 if (training and cfg.remat_blocks) else UNetBlock)
         cblock = [cfg.model_channels * m for m in cfg.channel_mult]
         cout = x.shape[-1]
         skips = []
@@ -303,40 +311,40 @@ class UNetCore(nn.Module):
                            use_bias=True, name="enc_conv_in")(x, training=training)
                 skips.append((x, cout))
             else:
-                x = UNetBlock(cfg, cout, cout, cemb, flavor="enc",
-                              resample_mode="down",
-                              use_attention=level in cfg.attn_levels,
-                              name=f"enc_b{level}_down")(x, emb, training)
+                x = Block(cfg, cout, cout, cemb, flavor="enc",
+                          resample_mode="down",
+                          use_attention=level in cfg.attn_levels,
+                          name=f"enc_b{level}_down")(x, emb, training)
                 skips.append((x, cout))
             for idx in range(cfg.num_layers_per_block):
                 cin, cout = cout, channels
-                x = UNetBlock(cfg, cin, cout, cemb, flavor="enc",
-                              use_attention=level in cfg.attn_levels,
-                              name=f"enc_b{level}_l{idx}")(x, emb, training)
+                x = Block(cfg, cin, cout, cemb, flavor="enc",
+                          use_attention=level in cfg.attn_levels,
+                          name=f"enc_b{level}_l{idx}")(x, emb, training)
                 skips.append((x, cout))
 
         # ---- decoder -----------------------------------------------------------
         for level, channels in reversed(list(enumerate(cblock))):
             if level == len(cblock) - 1:
-                x = UNetBlock(cfg, cout, cout, cemb, flavor="dec",
-                              use_attention=cfg.midblock_attn,
-                              name=f"dec_b{level}_in0")(x, emb, training)
+                x = Block(cfg, cout, cout, cemb, flavor="dec",
+                          use_attention=cfg.midblock_attn,
+                          name=f"dec_b{level}_in0")(x, emb, training)
                 if cfg.double_midblock:
-                    x = UNetBlock(cfg, cout, cout, cemb, flavor="dec",
-                                  use_attention=cfg.midblock_attn,
-                                  name=f"dec_b{level}_in1")(x, emb, training)
+                    x = Block(cfg, cout, cout, cemb, flavor="dec",
+                              use_attention=cfg.midblock_attn,
+                              name=f"dec_b{level}_in1")(x, emb, training)
             else:
-                x = UNetBlock(cfg, cout, cout, cemb, flavor="dec",
-                              resample_mode="up",
-                              use_attention=level in cfg.attn_levels,
-                              name=f"dec_b{level}_up")(x, emb, training)
+                x = Block(cfg, cout, cout, cemb, flavor="dec",
+                          resample_mode="up",
+                          use_attention=level in cfg.attn_levels,
+                          name=f"dec_b{level}_up")(x, emb, training)
             for idx in range(cfg.num_layers_per_block + 1):
                 skip_x, skip_c = skips.pop()
                 x = mp_cat(x, skip_x, axis=-1, t=cfg.concat_balance)
                 cin, cout = cout + skip_c, channels
-                x = UNetBlock(cfg, cin, cout, cemb, flavor="dec",
-                              use_attention=level in cfg.attn_levels,
-                              name=f"dec_b{level}_l{idx}")(x, emb, training)
+                x = Block(cfg, cin, cout, cemb, flavor="dec",
+                          use_attention=level in cfg.attn_levels,
+                          name=f"dec_b{level}_l{idx}")(x, emb, training)
 
         out_gain = self.param("out_gain", nn.initializers.zeros, ())
         x = MPConv(cout, cfg.out_channels, _conv_kernel(cfg, (3, 3)),

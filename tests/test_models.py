@@ -211,3 +211,37 @@ def test_top_pca_components(key):
     assert bool((v[:, 0] > 5 * v[:, 1]).all())
     # projections are centered
     assert abs(float(out.mean())) < 1e-4
+
+
+def test_remat_blocks_same_loss_and_grads():
+    """remat_blocks changes memory, not math: identical loss/grads."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+
+    key = jax.random.PRNGKey(0)
+    base = dict(in_channels=4, out_channels=4, in_channels_emb=0,
+                model_channels=8, channel_mult=(1, 2),
+                num_layers_per_block=1, channels_per_head=8,
+                logvar_channels=16, mlp_groups=2, mlp_multiplier=2)
+    x = jax.random.normal(key, (2, 8, 16, 4))
+    sg = jnp.ones((2,))
+
+    def loss_fn(model):
+        m = UNet(model)
+        p = m.init(key, x, sg, None, method=UNet.init_all)
+
+        def loss(pp):
+            return jnp.mean(m.apply(pp, x, sg, None, training=True,
+                                    rngs={"dropout": key}) ** 2)
+
+        return p, jax.value_and_grad(loss)(p)
+
+    _, (l0, g0) = loss_fn(UNetConfig(**base))
+    _, (l1, g1) = loss_fn(UNetConfig(**base, remat_blocks=True))
+    assert abs(float(l0) - float(l1)) < 1e-6
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

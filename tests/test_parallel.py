@@ -176,3 +176,38 @@ def test_multihost_two_process_simulation(tmp_path):
             w1.kill()
     assert loss_multi == pytest.approx(loss_single, rel=1e-6), \
         (loss_multi, loss_single)
+
+
+def test_gpipe_pipeline_matches_sequential():
+    """4-stage GPipe over the mesh model axis == sequential stage
+    application, streaming 8 microbatches of real UNet blocks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from dualdiffusion_tpu.models.unet import UNetBlock, UNetConfig
+    from dualdiffusion_tpu.parallel.pipeline import pipeline_apply
+
+    k, key = 4, jax.random.PRNGKey(0)
+    devs = np.array(jax.devices()[:k]).reshape(1, k)
+    mesh = Mesh(devs, ("data", "model"))
+    cfg = UNetConfig(in_channels=8, out_channels=8, model_channels=8,
+                     channel_mult=(1,), num_layers_per_block=1,
+                     channels_per_head=8, logvar_channels=16)
+    block = UNetBlock(cfg, 8, 8, 0)
+    x = jax.random.normal(key, (16, 8, 16, 8))
+    params = [block.init(jax.random.fold_in(key, i), x[:2], None)
+              for i in range(k)]
+    stacked = jax.tree_util.tree_map(
+        lambda *ps: jnp.stack(ps), *params)
+
+    def fn(p, xx):
+        return block.apply(p, xx, None)
+
+    got = pipeline_apply(fn, stacked, x, mesh, axis="model",
+                         num_microbatches=8)
+    want = x
+    for p in params:
+        want = block.apply(p, want, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
