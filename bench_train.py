@@ -12,7 +12,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ref-scale", action="store_true",
                     help="reference-default 356M UNet (4 latent channels)")
@@ -44,7 +44,7 @@ def main():
     lat_c = cfg.in_channels
     model = UNet(cfg)
     key = jax.random.PRNGKey(0)
-    b = args.batch
+    b = args.batch or (4 if args.ref_scale else 8)
     params = jax.jit(lambda k: model.init(
         k, jnp.zeros((1, 32, 688, lat_c)), jnp.ones((1,)),
         jnp.zeros((1, 1024)), method=UNet.init_all))(key)
@@ -61,11 +61,22 @@ def main():
     tconf = UNetTrainConfig(grad_accum_steps=1, sigma=SigmaSamplerConfig(),
                             conditioning_dropout=0.1)
     opt = build_optimizer("adamw", lr_schedule("edm2", 1e-3, 100, 1000))
-    bank = EMABank([EMAConfig(name="std0.05", std=0.05),
-                    EMAConfig(name="std0.1", std=0.1)])
+    if args.ref_scale:
+        # one live fp32 EMA profile: the dual-profile bank (reference
+        # default) plus AdamW state exceeds a single 16 GB chip at this
+        # scale — on pods, FSDP (parallel/mesh.py shard_train_state)
+        # shards optimizer+EMA over the data axis and both profiles fit
+        bank = EMABank([EMAConfig(name="std0.05", std=0.05)])
+    else:
+        bank = EMABank([EMAConfig(name="std0.05", std=0.05),
+                        EMAConfig(name="std0.1", std=0.1)])
+    import os
+    donate = () if os.environ.get("DD_DONATE_STATE", "0") == "0" else (0,)
     step = jax.jit(make_unet_train_step(apply_fn, get_emb, get_logvar, opt,
-                                        bank, tconf, total_batch_size=b))
+                                        bank, tconf, total_batch_size=b),
+                   donate_argnums=donate)
     state = init_train_state(params, opt, bank, tconf.sigma, key)
+    del params                 # the copy inside state is the live one
     rng = np.random.default_rng(0)
     batch = {"samples": jnp.asarray(rng.standard_normal(
                  (b, 32, 688, lat_c)).astype(np.float32)),

@@ -299,7 +299,7 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
         from .pallas.fgla_middle import fgla_middle_supported
         fuse_transforms = use_pallas and fgla_middle_supported(f, n1)
     if fuse_transforms:
-        return _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w,
+        return _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom,
                            n_fft, n1, n1p, n2, hop_length, n_iter,
                            stereo_coherence, wd, bins, length, win)
     if use_pallas:
@@ -347,7 +347,7 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                   hop_length, length=length)
 
 
-def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w, n_fft, n1,
+def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft, n1,
                 n1p, n2, hop_length, n_iter, stereo_coherence, wd, bins,
                 length, win):
     """k1-major fused iteration: lane-stage matmuls + elementwise in XLA,
@@ -379,32 +379,43 @@ def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom_w, n_fft, n1,
     def mm(x, m):
         return jnp.matmul(x, m, precision=prec)
 
-    def body(i, carry):
-        ang_r, ang_i, prev_r, prev_i = carry
-        t = (i.astype(jnp.float32) / n_iter - stereo_coherence).astype(wd)
-        interp = jnp.where(t > 0, merged_k + (spec_k - merged_k) * t,
-                           merged_k)
-        xr = ang_r * interp
-        xi = ang_i * interp
-        # inverse lane stage (contract k2), stacked-complex
-        z1 = mm(jnp.concatenate([xr, xi], axis=-1), w_inv)
-        # fused conj-twiddle + n1 stages + polyphase middle + fwd twiddle
-        z2r, z2i = fgla_middle(z1[..., :n2], z1[..., n2:], win_gp, inv_env,
-                               ctw, ftw, g_stack, f_stack, n1_true=n1)
-        # forward lane stage (contract t2), stacked-complex
-        r2 = mm(jnp.concatenate([z2r, z2i], axis=-1), w_fwd)
-        rr = r2[..., :n2].astype(wd)
-        ri = r2[..., n2:].astype(wd)
-        nr = rr - mom_w * prev_r
-        ni = ri - mom_w * prev_i
-        mag = jnp.sqrt(nr * nr + ni * ni) + jnp.asarray(1e-12, wd)
-        return (nr / mag, ni / mag, rr, ri)
+    from .pallas.fgla_spectral import fgla_spectral
+    mom = float(mom)
+    mom_w = jnp.asarray(mom, wd)
 
+    # x_0 = ang0 * interp(t_0) = merged (t_0 < 0, flat unit phases)
     shape = (b, c, n1p, f, n2)
-    ang0 = jnp.zeros(shape, wd).at[..., :n1, :, :].set(1.0)
-    init = (ang0, jnp.zeros(shape, wd),
+    z1_0 = mm(jnp.concatenate([merged_k, jnp.zeros(shape, wd)], axis=-1),
+              w_inv)
+
+    def body(i, carry):
+        z1r, z1i, prev_r, prev_i = carry
+        # project x_i, then the fused spectral step builds x_{i+1}'s
+        # lane-stage input with the NEXT annealing factor
+        z2r, z2i = fgla_middle(z1r, z1i, win_gp, inv_env, ctw, ftw,
+                               g_stack, f_stack, n1_true=n1)
+        t_next = (i.astype(jnp.float32) + 1.0) / n_iter - stereo_coherence
+        z1r, z1i, rr, ri = fgla_spectral(t_next, z2r, z2i, prev_r, prev_i,
+                                         spec_k, merged_k, w_fwd, w_inv,
+                                         mom=mom)
+        return (z1r, z1i, rr, ri)
+
+    init = (z1_0[..., :n2], z1_0[..., n2:],
             jnp.zeros(shape, wd), jnp.zeros(shape, wd))
-    ang_r, ang_i, _, _ = jax.lax.fori_loop(0, n_iter, body, init)
+    z1r, z1i, prev_r, prev_i = jax.lax.fori_loop(0, n_iter - 1, body, init)
+
+    # final projection (iteration n_iter-1) unrolled: the loop carry has
+    # no explicit phases, so recover ang_n in plain XLA once
+    z2r, z2i = fgla_middle(z1r, z1i, win_gp, inv_env, ctw, ftw,
+                           g_stack, f_stack, n1_true=n1)
+    r2 = mm(jnp.concatenate([z2r, z2i], axis=-1), w_fwd)
+    rr = r2[..., :n2].astype(wd)
+    ri = r2[..., n2:].astype(wd)
+    nr = rr - mom_w * prev_r
+    ni = ri - mom_w * prev_i
+    mag = jnp.sqrt(nr * nr + ni * ni) + jnp.asarray(1e-12, wd)
+    ang_r = nr / mag
+    ang_i = ni / mag
 
     def to_natural(x):
         x = x.astype(jnp.float32)[..., :n1, :, :]        # (b,c,n1,f,n2)

@@ -88,6 +88,9 @@ def build_unet_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
     step = make_unet_train_step(unet_apply, get_emb, get_logvar, opt, bank,
                                 cfg, _total_batch(tconf))
     state = init_train_state(variables, opt, bank, cfg.sigma, key)
+    # drop the pipeline's alias of the initial params: after step 1 it
+    # would pin the stale buffers (1.4 GB at the 356M reference scale)
+    h.variables = None
 
     def batch_adapter(batch):
         # dataset latents are stored reference-layout (B, C, H, W);
@@ -111,6 +114,7 @@ def build_dae_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
     step = make_dae_train_step(h.module, pipeline.format, opt, bank, cfg,
                                _total_batch(tconf))
     state = init_train_state(h.variables, opt, bank, SigmaSamplerConfig(), key)
+    h.variables = None          # see build_unet_trainer
 
     def batch_adapter(batch):
         out = {"audio": jnp.asarray(batch["audio"])}
@@ -144,6 +148,7 @@ def build_ddec_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
                                 dae_h.variables, pipeline.format, opt, bank,
                                 cfg, _total_batch(tconf))
     state = init_train_state(h.variables, opt, bank, cfg.unet.sigma, key)
+    h.variables = None          # the frozen dae teacher's stay referenced
 
     def batch_adapter(batch):
         out = {"audio": jnp.asarray(batch["audio"])}
@@ -188,6 +193,8 @@ def build_joint_dae_ddec_trainer(pipeline, tconf: TrainerConfig, key: jax.Array)
     trainable = {"dae": dae_h.variables["params"], "ddec": h.variables}
     state = init_train_state(params, opt, bank, cfg.ddec.unet.sigma, key,
                              trainable=trainable)
+    h.variables = None          # see build_unet_trainer
+    dae_h.variables = None
 
     def export(ckpt_dir, variables):
         save_module(ckpt_dir, "dae", dae_h.module_type, dae_h.config,

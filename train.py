@@ -11,6 +11,7 @@ pipeline model directory created by create_new_model.py.
 
 import argparse
 import logging
+import os
 import sys
 
 logging.basicConfig(level=logging.INFO,
@@ -64,7 +65,14 @@ def main():
     if jax.process_count() > 1:
         from dualdiffusion_tpu.parallel import replicate_state
         state = replicate_state(mesh, state)
-    jstep = jax.jit(step)
+    # donate the train state: without donation the input and output state
+    # pytrees double-buffer (2x params+opt+EMAs — significant at the 356M
+    # reference scale). DD_DONATE_STATE=0 opts out (some tunneled dev
+    # runtimes reject donated buffers with InvalidArgument).
+    if os.environ.get("DD_DONATE_STATE", "1") != "0":
+        jstep = jax.jit(step, donate_argnums=(0,))
+    else:
+        jstep = jax.jit(step)
 
     data_dir = args.dataset_path or DATASET_PATH
     assert data_dir, "set --dataset_path or DATASET_PATH"
