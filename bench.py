@@ -229,7 +229,10 @@ def main():
     args = ap.parse_args()
 
     import jax
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"compile_cache={cache_dir}")
 
     # fastest MXU precision for the matmul-DFT stages (FGLA quality is
     # unaffected: spectral convergence err 0.0353 vs 0.0377 at highest)

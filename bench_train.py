@@ -20,6 +20,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     from dualdiffusion_tpu.models.unet import UNet, UNetConfig
     from dualdiffusion_tpu.training import (EMABank, EMAConfig,
                                             SigmaSamplerConfig, UNetTrainConfig,

@@ -85,16 +85,19 @@ def scaled_dot_product_attention(q: jnp.ndarray, k: jnp.ndarray,
                                  v: jnp.ndarray,
                                  scale: Optional[float] = None,
                                  window: Optional[int] = None,
-                                 causal: bool = False) -> jnp.ndarray:
+                                 causal: bool = False,
+                                 training: bool = False) -> jnp.ndarray:
     """SDPA with automatic backend choice. q/k/v: (B, H, L, D).
 
     Long sequences on TPU route to the Pallas flash kernel (online
     softmax, O(L*window) for banded); short ones use the fused XLA
     einsum+softmax, which is faster when L x L fits in one tile.
+    ``training=True`` forces the XLA path: the flash kernel has no
+    custom VJP, so it must not be reached under ``jax.grad``.
     """
     b, h, l, d = q.shape
     scale = float(scale) if scale is not None else 1.0 / float(np.sqrt(d))
-    if _use_flash(l):
+    if _use_flash(l) and not training:
         from dualdiffusion_tpu.ops.pallas.flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale, window=window,
                                causal=causal)

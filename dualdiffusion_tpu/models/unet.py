@@ -207,7 +207,8 @@ class UNetBlock(nn.Module):
         from .attention import scaled_dot_product_attention
         y = scaled_dot_product_attention(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-            jnp.swapaxes(vh, 1, 2), scale=1.0 / np.sqrt(hd))
+            jnp.swapaxes(vh, 1, 2), scale=1.0 / np.sqrt(hd),
+            training=training)
         y = jnp.swapaxes(y, 1, 2).astype(x.dtype).reshape(bs, seq, ch)
 
         # undo the fold

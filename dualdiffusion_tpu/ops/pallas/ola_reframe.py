@@ -226,6 +226,11 @@ def _ola_reframe_kernel(y_hbm, enve_hbm, envo_hbm, win_ref, p1_ref, p0_ref,
 
 def ola_reframe_supported(f: int, n1: int,
                           block_frames: int = 172) -> bool:
+    """True iff ola_reframe's kernel preconditions hold — mirrors every
+    assert in ola_reframe so dispatchers can fall back cleanly instead of
+    tripping an AssertionError inside the Pallas path."""
+    if n1 < 2 or n1 % 2 != 0:
+        return False
     hl = (n1 - 1) // 2
     bf = _pick_block(f, block_frames, hl)
     nb = f // bf

@@ -160,6 +160,8 @@ class ModelServer:
 
     # ---- loop -----------------------------------------------------------
     def run(self) -> None:
+        from ..utils.jax_cache import enable_compilation_cache
+        enable_compilation_cache()
         logger.info("model server started")
         while True:
             cmd = self.state.get("cmd")

@@ -391,16 +391,17 @@ def _setup_editor_input(ui: UIState, sample_params: Dict[str, Any]) -> None:
     if extend in ("append", "prepend"):
         # outpaint: shift the clip by half its length and regenerate the
         # freed half as a continuation (reference :704-716)
-        half = w // 2
+        half = w // 2          # freed (regenerated) width; kept = w - half
+        keep = w - half
         mask = np.zeros((1, 1, w, 1), np.float32)
         if extend == "append":
-            lat = np.concatenate([lat[:, :, half:],
-                                  np.zeros_like(lat[:, :, :w - half])], axis=2)
-            mask[:, :, w - half:] = 1.0
+            lat = np.concatenate([lat[:, :, w - keep:],
+                                  np.zeros_like(lat[:, :, :half])], axis=2)
+            mask[:, :, keep:] = 1.0
         else:
-            lat = np.concatenate([np.zeros_like(lat[:, :, :w - half]),
-                                  lat[:, :, :half]], axis=2)
-            mask[:, :, :w - half] = 1.0
+            lat = np.concatenate([np.zeros_like(lat[:, :, :half]),
+                                  lat[:, :, :keep]], axis=2)
+            mask[:, :, :half] = 1.0
     elif inpaint_start is not None and inpaint_end is not None:
         c0 = max(int(float(inpaint_start) * cols_per_s), 0)
         c1 = min(int(float(inpaint_end) * cols_per_s), w)

@@ -522,6 +522,17 @@ class Trainer:
         per_sample = logs.get("sample_losses")
         if per_sample is None or not self.config.model_path:
             return
+        # multi-host: sample_losses is the GLOBAL batch, sharded across
+        # processes; np.asarray on a non-addressable array raises, and the
+        # global row order would not line up with host-local `paths`.
+        # Extract only this process's shard (data-sharded axis 0) so rows
+        # pair 1:1 with the local batch.
+        if hasattr(per_sample, "is_fully_addressable") \
+                and not per_sample.is_fully_addressable:
+            shards = sorted(per_sample.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            per_sample = np.concatenate(
+                [np.asarray(s.data).reshape(-1) for s in shards])
         for p, l in zip(paths, np.asarray(per_sample).reshape(-1).tolist()):
             self._pending_sample_losses[str(p)] = float(l)
 

@@ -66,6 +66,9 @@ def main():
     import jax
     import numpy as np
 
+    from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from dualdiffusion_tpu.pipelines import Pipeline
     from dualdiffusion_tpu.sampling import SampleParams
     from dualdiffusion_tpu.utils import save_audio

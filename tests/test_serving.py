@@ -141,3 +141,30 @@ def test_serving_module_state_dict_and_latent_shape(serving):
         time.sleep(0.2)
     shape = state.get("latent_shape")
     assert isinstance(shape, tuple) and len(shape) == 4
+
+
+def test_editor_outpaint_odd_width(tmp_path):
+    """_setup_editor_input extend math must keep latents width == mask
+    width for ODD latent widths too (kept + freed halves complementary)."""
+    from dualdiffusion_tpu.serving.webui import UIState, _setup_editor_input
+
+    for w in (7, 8):
+        for direction in ("append", "prepend"):
+            ui = UIState({}, tmp_path)
+            lat = 1.0 + np.arange(1 * 4 * w * 2,
+                                  dtype=np.float32).reshape(1, 4, w, 2)
+            ui.outputs = [{"latents": lat,
+                           "raw": np.zeros((1, 2, 32000), np.float32),
+                           "sample_rate": 32000}]
+            params = {"input_output_id": 0, "extend": direction}
+            _setup_editor_input(ui, params)
+            out_lat = ui.server_state["input_latents"]
+            mask = ui.server_state["inpainting_mask"]
+            assert out_lat.shape == lat.shape, (w, direction, out_lat.shape)
+            assert mask.shape == (1, 1, w, 1)
+            # freed region is zeroed latents AND mask==1; kept region is
+            # real data AND mask==0
+            freed = mask[0, 0, :, 0] == 1.0
+            assert freed.sum() == w // 2
+            assert np.all(out_lat[:, :, freed] == 0.0)
+            assert np.all(out_lat[:, :, ~freed] != 0.0) or w == 0

@@ -40,6 +40,9 @@ def main():
     import jax
     import numpy as np
 
+    from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from dualdiffusion_tpu.dataset.dataloader import (DatasetConfig,
                                                       DualDiffusionDataset)
     from dualdiffusion_tpu.parallel import MeshConfig, make_mesh, shard_batch
