@@ -3,25 +3,33 @@
 
   100-step EDM latent sampling (CFG 1.5 + Heun => ~400 UNet forwards)
   -> DAE decode to the 256-bin mel spectrogram
-  -> pseudoinverse mel unscale + 200-iteration FGLA phase reconstruction
-     (or, with --ddec, the DDEC diffusion decoder on the MDCT grid)
+  -> EITHER pseudoinverse mel unscale + 200-iteration FGLA phase
+     reconstruction (the legacy/spectrogram decode)
+  -> OR the DDEC diffusion decoder on the MDCT grid (the reference's
+     production decode path, dual_diffusion_pipeline.py:589-752) +
+     mdct_to_raw
   -> waveform.
 
-Two model scales:
-  * flagship (default): 24.9M-param UNet, 8 latent channels.
-  * ref-scale (--ref-scale, also measured by the default run): the
-    reference's own default model
+Both decode paths are measured BY DEFAULT at both model scales:
+  * flagship: 24.9M-param UNet, 8 latent channels.
+  * ref-scale: the reference's own default model
     (/root/reference/config/models/default/unet.json — 256 ch,
     mult [1..5], mlp x2 groups 8; 356M params, 4 latent channels).
 
+Per-stage FLOP/bytes/MFU accounting: XLA's own cost model
+(compiled.cost_analysis()) for the pure-XLA stages, documented analytic
+formulas for the Pallas FGLA stage (utils/perf.py).
+
 Prints ONE json line:
-  {"metric": "e2e_45s_clip_seconds", "value": <flagship s>, "unit": "s",
-   "vs_baseline": <10.0/value>, "ref_scale_seconds": <s>, ...}
+  {"metric": "e2e_45s_clip_seconds", "value": <flagship FGLA-decode s>,
+   "unit": "s", "vs_baseline": <10.0/value>,
+   "ddec_seconds": ..., "ref_scale_seconds": ...,
+   "ref_scale_ddec_seconds": ..., "stages": {...}, ...}
 vs_baseline >= 1.0 means the <10 s on-chip north-star target is met
 (the reference publishes no numbers; 10 s is BASELINE.json's target).
 
 Usage: python bench.py [--small|--ref-scale|--flagship-only] [--ddec]
-                       [--steps N] [--fgla N]
+                       [--no-ddec] [--steps N] [--fgla N]
 """
 
 import argparse
@@ -92,21 +100,96 @@ def build_configs(name: str, args):
     return mel_h, mel_w, ds, dae_cfg, unet_cfg, fmt_cfg
 
 
-def run_config(name: str, args):
-    """Build the pipeline at one scale and time the jitted e2e generate.
-    Returns (steady_seconds, audio_seconds)."""
+def _timed_call(fn, *fn_args, n: int = 1):
+    """Steady-state seconds with forced device->host sync (np.asarray):
+    block_until_ready under-reports through the tunneled runtime."""
+    out = np.asarray(fn(*fn_args))
+    t0 = time.time()
+    for _ in range(n):
+        out = np.asarray(fn(*fn_args))
+    return out, (time.time() - t0) / n
+
+
+def _aot(jfn, *example_args):
+    """lower+compile; returns (compiled, compile_seconds, cost dict)."""
+    from dualdiffusion_tpu.utils.perf import compiled_cost
+    t0 = time.time()
+    compiled = jfn.lower(*example_args).compile()
+    return compiled, time.time() - t0, compiled_cost(compiled)
+
+
+def make_ddec_stage(args, mel_h: int, mel_w: int, key):
+    """The DDEC diffusion-decode stage (mel spectrogram -> waveform):
+    mel -> mel_spec_to_linear PSD conditioning -> 20-step Heun EDM
+    sampling of MDCT coefficients -> imdct. Scale-independent of the
+    latent UNet (the mel grid is the interface), so one compiled stage
+    serves both bench scales. Reference: the production decode in
+    /root/reference/src/pipelines/dual_diffusion_pipeline.py:589-752 with
+    /root/reference/config/models/edm2_ddec_mclt_b1a/ddec.json scale."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.formats.ms_mdct_dual import (
+        MSMDCTDualFormat, MSMDCTDualFormatConfig)
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+    from dualdiffusion_tpu.sampling import SampleParams, edm_sample
+
+    if mel_h != 256:
+        raise ValueError(
+            f"DDEC decode requires the production 256-bin mel grid, got "
+            f"{mel_h} (--small has no DDEC model; drop --ddec)")
+    mfmt = MSMDCTDualFormat(MSMDCTDualFormatConfig())
+    ddec_cfg = UNetConfig(in_channels=2, out_channels=2,
+                          in_channels_emb=0, in_num_freqs=256,
+                          in_psd_freqs=2048, sigma_max=11.0,
+                          sigma_min=0.0002,
+                          model_channels=32, channel_mult=(1, 2, 3, 4),
+                          channel_mult_noise=4, channel_mult_emb=4,
+                          channels_per_head=64, num_layers_per_block=3,
+                          mlp_multiplier=2, logvar_channels=128)
+    ddec = UNet(ddec_cfg)
+    mdct_shape = mfmt.get_mdct_shape_for_mel_frames(1, mel_w)
+    ddvars = jax.jit(lambda k: ddec.init(
+        k, jnp.zeros((1, ddec_cfg.in_num_freqs, 64, 2)), jnp.ones((1,)),
+        None, jnp.zeros((1, ddec_cfg.in_psd_freqs, 64, 2)),
+        method=UNet.init_all))(key)
+    ddvars["params"]["core"]["out_gain"] = jnp.ones(())
+    dd_sp = SampleParams(steps=args.ddec_steps, cfg_scale=1.0,
+                         use_heun=True, schedule="linear",
+                         input_perturbation=0.0)
+
+    def ddec_decode(mel, k, ddv):
+        lin = mfmt.mel_spec_to_linear(mel.astype(jnp.float32))
+
+        def dd_denoise(x, sigma):
+            return ddec.apply(ddv, x, sigma, None, lin)
+
+        coeffs, _ = edm_sample(dd_denoise, mdct_shape, dd_sp,
+                               11.0, 0.0002, 1.0, k,
+                               return_debug=False, use_cfg=False)
+        return mfmt.mdct_to_raw(coeffs)
+
+    return {"jit": jax.jit(ddec_decode), "vars": ddvars, "format": mfmt}
+
+
+def run_config(name: str, args, ddec_stage=None):
+    """Build the pipeline at one scale, time each stage (with XLA cost
+    accounting) and the chained end-to-end generate for both decode
+    paths. Returns a result dict."""
     import jax
     import jax.numpy as jnp
     from dualdiffusion_tpu.models.dae import DAE
     from dualdiffusion_tpu.models.formats import SpectrogramFormat
     from dualdiffusion_tpu.models.unet import UNet, UNetConfig
     from dualdiffusion_tpu.sampling import SampleParams, edm_sample
+    from dualdiffusion_tpu.utils.perf import (device_peaks,
+                                              fgla_analytic_cost, stage_stats)
 
     key = jax.random.PRNGKey(0)
     mel_h, mel_w, ds, dae_cfg, unet_cfg, fmt_cfg = build_configs(name, args)
     lat_h, lat_w = mel_h // ds, mel_w // ds
     lat_c = dae_cfg.latent_channels
     fmt = SpectrogramFormat(fmt_cfg)
+    peaks = device_peaks()
 
     log(f"[{name}] initializing models...")
     dae = DAE(dae_cfg)
@@ -135,82 +218,98 @@ def run_config(name: str, args):
     # params are jit ARGUMENTS, never closures: closed-over param trees
     # become HLO constants, and XLA constant-folds giant weight transposes
     # at compile time (measured: ref-scale fwd lowering 815 s as closures)
-    def make_denoise(uv):
+    def sample_latents(k, uv):
         def denoise(x, sigma):
             return unet.apply(uv, x, sigma, emb2)
-        return denoise
+        latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
+                                200.0, 0.03, 1.0, k, return_debug=False)
+        return latents
 
-    if args.ddec:
-        from dualdiffusion_tpu.models.formats.ms_mdct_dual import (
-            MSMDCTDualFormat, MSMDCTDualFormatConfig)
-        mfmt = MSMDCTDualFormat(MSMDCTDualFormatConfig())
-        # reference DDEC scale (config/models/edm2_ddec_mclt_b1a/ddec.json:
-        # 32 ch, mult [1,2,3,4], 3 layers/block, mlp x2, PSD-conditioned,
-        # no attention) with the reference test harness's ddec_params
-        # (20 steps + Heun, linear schedule, sigma_max 11)
-        ddec_cfg = UNetConfig(in_channels=2, out_channels=2,
-                              in_channels_emb=0, in_num_freqs=256,
-                              in_psd_freqs=2048, sigma_max=11.0,
-                              sigma_min=0.0002,
-                              model_channels=32, channel_mult=(1, 2, 3, 4),
-                              channel_mult_noise=4, channel_mult_emb=4,
-                              channels_per_head=64, num_layers_per_block=3,
-                              mlp_multiplier=2, logvar_channels=128)
-        ddec = UNet(ddec_cfg)
-        mdct_shape = mfmt.get_mdct_shape_for_mel_frames(1, mel_w)
-        ddvars = jax.jit(lambda k: ddec.init(
-            k, jnp.zeros((1, ddec_cfg.in_num_freqs, 64, 2)), jnp.ones((1,)),
-            None, jnp.zeros((1, ddec_cfg.in_psd_freqs, 64, 2)),
-            method=UNet.init_all))(key)
-        ddvars["params"]["core"]["out_gain"] = jnp.ones(())
-        dd_sp = SampleParams(steps=args.ddec_steps, cfg_scale=1.0,
-                             use_heun=True, schedule="linear",
-                             input_perturbation=0.0)
+    def dae_decode(latents, dv):
+        return dae.apply(dv, latents, method=DAE.decode)
 
-        def generate(key, uv, dv, ddv):
-            k1, k2 = jax.random.split(key)
-            latents, _ = edm_sample(make_denoise(uv),
-                                    (1, lat_h, lat_w, lat_c), sp,
-                                    200.0, 0.03, 1.0, k1, return_debug=False)
-            mel = dae.apply(dv, latents, method=DAE.decode)
-            lin = mfmt.mel_spec_to_linear(mel.astype(jnp.float32))
+    def fgla_decode(mel, k):
+        return fmt.sample_to_raw(mel.astype(jnp.float32), key=k)
 
-            def dd_denoise(x, sigma):
-                return ddec.apply(ddv, x, sigma, None, lin)
+    t_first0 = time.time()
+    log(f"[{name}] compiling stages...")
+    samp_c, samp_sec, samp_cost = _aot(jax.jit(sample_latents), key, uvars)
+    lat0 = samp_c(key, uvars)
+    dae_c, dae_sec, dae_cost = _aot(jax.jit(dae_decode), lat0, dvars)
+    mel0 = dae_c(lat0, dvars)
+    fgla_c, fgla_sec, _ = _aot(jax.jit(fgla_decode), mel0, key)
+    log(f"[{name}] stage compiles: sampler {samp_sec:.1f}s, "
+        f"dae {dae_sec:.1f}s, fgla {fgla_sec:.1f}s")
 
-            coeffs, _ = edm_sample(dd_denoise, mdct_shape, dd_sp,
-                                   11.0, 0.0002, 1.0, k2,
-                                   return_debug=False, use_cfg=False)
-            return mfmt.mdct_to_raw(coeffs)
+    stages = {}
+    _, t_samp = _timed_call(samp_c, key, uvars)
+    stages["sampler"] = stage_stats(t_samp, peaks=peaks, **samp_cost)
+    _, t_dae = _timed_call(dae_c, lat0, dvars, n=3)
+    stages["dae_decode"] = stage_stats(t_dae, peaks=peaks, **dae_cost)
+    # FGLA is Pallas — XLA's cost model can't see into the kernels; use
+    # the documented analytic formulas (utils/perf.py:fgla_analytic_cost)
+    n_frames = mel_w  # critically-sampled: one frame per mel column
+    fgla_cost = fgla_analytic_cost(
+        n_frames, fmt_cfg.padded_length, args.fgla,
+        work_bytes=2 if fmt_cfg.fgla_work_dtype == "bfloat16" else 4)
+    raw0, t_fgla = _timed_call(fgla_c, mel0, key)
+    stages["fgla_decode"] = stage_stats(
+        t_fgla, flops=fgla_cost["flops"], bytes_accessed=fgla_cost["bytes"],
+        peaks=peaks)
+    stages["fgla_decode"]["cost_model"] = "analytic"
 
-        jgen = jax.jit(generate)
-        call = lambda k: jgen(k, uvars, dvars, ddvars)
-    else:
-        def generate(key, uv, dv):
-            latents, _ = edm_sample(make_denoise(uv),
-                                    (1, lat_h, lat_w, lat_c), sp,
-                                    200.0, 0.03, 1.0, key, return_debug=False)
-            mel = dae.apply(dv, latents, method=DAE.decode)
-            return fmt.sample_to_raw(mel.astype(jnp.float32))
+    # chained e2e, device-resident intermediates, one sync at the end
+    def e2e_fgla(k):
+        k1, k2 = jax.random.split(k)
+        return fgla_c(dae_c(samp_c(k1, uvars), dvars), k2)
 
-        jgen = jax.jit(generate)
-        call = lambda k: jgen(k, uvars, dvars)
-
-    log(f"[{name}] compiling end-to-end graph...")
+    out = np.asarray(e2e_fgla(jax.random.PRNGKey(1)))   # warm
+    first_call = time.time() - t_first0
     t0 = time.time()
-    out = np.asarray(call(jax.random.PRNGKey(1)))
-    compile_and_run = time.time() - t0
-    log(f"[{name}] first call (compile+run): {compile_and_run:.1f}s; "
-        f"out {out.shape}")
-
-    t0 = time.time()
-    out = np.asarray(call(jax.random.PRNGKey(2)))
-    elapsed = time.time() - t0
+    out = np.asarray(e2e_fgla(jax.random.PRNGKey(2)))
+    e2e_sec = time.time() - t0
     assert np.isfinite(out).all(), "non-finite output"
     audio_seconds = out.shape[-1] / fmt_cfg.sample_rate
-    log(f"[{name}] steady-state e2e: {elapsed:.2f}s for {audio_seconds:.1f}s "
-        f"of audio ({audio_seconds/elapsed:.2f}x realtime)")
-    return elapsed, audio_seconds
+    log(f"[{name}] steady-state e2e (FGLA decode): {e2e_sec:.2f}s for "
+        f"{audio_seconds:.1f}s of audio ({audio_seconds/e2e_sec:.2f}x "
+        f"realtime); stages: sampler {t_samp:.2f}s dae {t_dae:.2f}s "
+        f"fgla {t_fgla:.2f}s")
+
+    result = {"e2e_seconds": e2e_sec, "audio_seconds": audio_seconds,
+              "stages": stages, "first_call_seconds": first_call,
+              "ddec_stage": None}
+
+    if args.use_ddec and mel_h == 256:
+        if ddec_stage is None:
+            t0 = time.time()
+            ddec_stage = make_ddec_stage(args, mel_h, mel_w, key)
+            dd_c, dd_sec, dd_cost = _aot(ddec_stage["jit"], mel0, key,
+                                         ddec_stage["vars"])
+            ddec_stage.update(compiled=dd_c, cost=dd_cost)
+            log(f"[{name}] ddec stage compile: {dd_sec:.1f}s")
+            raw_dd, t_dd = _timed_call(dd_c, mel0, key, ddec_stage["vars"])
+            assert np.isfinite(raw_dd).all(), "non-finite ddec output"
+            ddec_stage["stats"] = stage_stats(t_dd, peaks=peaks, **dd_cost)
+            ddec_stage["first_call_seconds"] = time.time() - t0
+            result["first_call_seconds"] += ddec_stage["first_call_seconds"]
+        stages["ddec_decode"] = ddec_stage["stats"]
+
+        dd_c, ddv = ddec_stage["compiled"], ddec_stage["vars"]
+
+        def e2e_ddec(k):
+            k1, k2 = jax.random.split(k)
+            return dd_c(dae_c(samp_c(k1, uvars), dvars), k2, ddv)
+
+        np.asarray(e2e_ddec(jax.random.PRNGKey(3)))     # warm
+        t0 = time.time()
+        out_dd = np.asarray(e2e_ddec(jax.random.PRNGKey(4)))
+        ddec_e2e = time.time() - t0
+        assert np.isfinite(out_dd).all()
+        log(f"[{name}] steady-state e2e (DDEC decode, {args.ddec_steps} "
+            f"Heun steps): {ddec_e2e:.2f}s")
+        result["ddec_e2e_seconds"] = ddec_e2e
+        result["ddec_stage"] = ddec_stage
+    return result
 
 
 def main():
@@ -221,15 +320,22 @@ def main():
     ap.add_argument("--flagship-only", action="store_true",
                     help="skip the ref-scale measurement")
     ap.add_argument("--ddec", action="store_true",
-                    help="decode via the DDEC diffusion decoder "
-                         "(20 steps + Heun on the MDCT grid) instead of FGLA")
+                    help="report the DDEC-decode e2e as the headline value "
+                         "(both paths are measured by default regardless)")
+    ap.add_argument("--no-ddec", action="store_true",
+                    help="skip the DDEC decode measurement")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--ddec_steps", type=int, default=20)
     ap.add_argument("--fgla", type=int, default=200)
     args = ap.parse_args()
+    if args.ddec and (args.small or args.no_ddec):
+        ap.error("--ddec needs the production 256-bin mel grid "
+                 "(incompatible with --small/--no-ddec)")
+    args.use_ddec = not (args.no_ddec or args.small)
 
     import jax
     from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
+    from dualdiffusion_tpu.utils.perf import device_peaks
     cache_dir = enable_compilation_cache()
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
         f"compile_cache={cache_dir}")
@@ -249,21 +355,36 @@ def main():
         names = ["flagship", "ref_scale"]
 
     results = {}
+    ddec_stage = None
     for name in names:
-        results[name] = run_config(name, args)
+        results[name] = run_config(name, args, ddec_stage)
+        ddec_stage = results[name]["ddec_stage"] or ddec_stage
 
     head = names[0]
-    elapsed = results[head][0]
+    headline = ("ddec_e2e_seconds" if args.ddec else "e2e_seconds")
+    elapsed = results[head][headline]
     line = {
         "metric": "e2e_45s_clip_seconds",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(10.0 / elapsed, 3),
     }
-    if "ref_scale" in results and head != "ref_scale":
-        line["ref_scale_seconds"] = round(results["ref_scale"][0], 3)
     if args.ddec:
         line["decode"] = f"ddec_{args.ddec_steps}steps"
+    if "ddec_e2e_seconds" in results[head] and not args.ddec:
+        line["ddec_seconds"] = round(results[head]["ddec_e2e_seconds"], 3)
+    if "ref_scale" in results and head != "ref_scale":
+        line["ref_scale_seconds"] = round(
+            results["ref_scale"]["e2e_seconds"], 3)
+        if "ddec_e2e_seconds" in results["ref_scale"]:
+            line["ref_scale_ddec_seconds"] = round(
+                results["ref_scale"]["ddec_e2e_seconds"], 3)
+    line["first_call_seconds"] = round(
+        sum(r["first_call_seconds"] for r in results.values()), 1)
+    peaks = device_peaks()
+    if peaks:
+        line["device"] = peaks
+    line["stages"] = {n: results[n]["stages"] for n in names}
     print(json.dumps(line))
 
 

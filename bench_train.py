@@ -64,19 +64,22 @@ def main():
                             conditioning_dropout=0.1)
     opt = build_optimizer("adamw", lr_schedule("edm2", 1e-3, 100, 1000))
     if args.ref_scale:
-        # one live fp32 EMA profile: the dual-profile bank (reference
-        # default) plus AdamW state exceeds a single 16 GB chip at this
-        # scale — on pods, FSDP (parallel/mesh.py shard_train_state)
-        # shards optimizer+EMA over the data axis and both profiles fit
-        bank = EMABank([EMAConfig(name="std0.05", std=0.05)])
+        # TWO live EMA profiles via bf16 storage (EMAConfig.store_dtype):
+        # same HBM as one fp32 profile, so the reference-default dual-EMA
+        # bank fits a 16 GB chip at 356M (VERDICT r2 #3). A cpu_offload
+        # profile is the zero-HBM alternative (Trainer drives it).
+        bank = EMABank([EMAConfig(name="std0.05", std=0.05,
+                                  store_dtype="bfloat16"),
+                        EMAConfig(name="std0.1", std=0.1,
+                                  store_dtype="bfloat16")])
     else:
         bank = EMABank([EMAConfig(name="std0.05", std=0.05),
                         EMAConfig(name="std0.1", std=0.1)])
     import os
     donate = () if os.environ.get("DD_DONATE_STATE", "0") == "0" else (0,)
-    step = jax.jit(make_unet_train_step(apply_fn, get_emb, get_logvar, opt,
-                                        bank, tconf, total_batch_size=b),
-                   donate_argnums=donate)
+    jstep = jax.jit(make_unet_train_step(apply_fn, get_emb, get_logvar, opt,
+                                         bank, tconf, total_batch_size=b),
+                    donate_argnums=donate)
     state = init_train_state(params, opt, bank, tconf.sigma, key)
     del params                 # the copy inside state is the live one
     rng = np.random.default_rng(0)
@@ -85,7 +88,15 @@ def main():
              "embeddings": jnp.asarray(rng.standard_normal(
                  (b, 1024)).astype(np.float32))}
 
-    state, logs = step(state, batch)   # compile
+    from dualdiffusion_tpu.utils.perf import (compiled_cost, device_peaks,
+                                              stage_stats)
+    # AOT lower/compile keeps jit's donation semantics and exposes XLA's
+    # cost model for the MFU accounting
+    compiled = jstep.lower(state, batch).compile()
+    cost = compiled_cost(compiled)
+    step = compiled
+
+    state, logs = step(state, batch)   # warm
     _ = float(logs["loss"])            # forced device->host sync
     t0 = time.time()
     for _ in range(args.iters):
@@ -93,10 +104,13 @@ def main():
     loss = float(logs["loss"])         # sync: loss depends on the last step
     dt = (time.time() - t0) / args.iters
     assert np.isfinite(loss)
-    print(f"step={dt*1000:.1f}ms loss={loss:.4f}", file=sys.stderr, flush=True)
+    perf = stage_stats(dt, peaks=device_peaks(), **cost)
+    print(f"step={dt*1000:.1f}ms loss={loss:.4f} perf={perf}",
+          file=sys.stderr, flush=True)
     print(json.dumps({"metric": "unet_train_samples_per_sec",
                       "value": round(b / dt, 2), "unit": "samples/s",
-                      "batch": b, "step_ms": round(dt * 1000, 1)}))
+                      "batch": b, "step_ms": round(dt * 1000, 1),
+                      "num_live_emas": len(bank.configs), **perf}))
 
 
 if __name__ == "__main__":

@@ -281,10 +281,10 @@ def fgla_middle(z1r: jnp.ndarray, z1i: jnp.ndarray, win_g: jnp.ndarray,
         kernel,
         grid=(bc, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # z1r
-            pl.BlockSpec(memory_space=pltpu.ANY),   # z1i
-            pl.BlockSpec(memory_space=pltpu.ANY),   # env even
-            pl.BlockSpec(memory_space=pltpu.ANY),   # env odd
+            pl.BlockSpec(memory_space=pl.ANY),   # z1r
+            pl.BlockSpec(memory_space=pl.ANY),   # z1i
+            pl.BlockSpec(memory_space=pl.ANY),   # env even
+            pl.BlockSpec(memory_space=pl.ANY),   # env odd
             const((n1s, n2)),                       # window
             const((n1s, n2)), const((n1s, n2)),     # conj twiddle re/im
             const((n1s, n2)), const((n1s, n2)),     # fwd twiddle re/im

@@ -171,8 +171,8 @@ def _mss2d_block_loss_fwd_impl(sample, target, bw, stride, window, weight,
         functools.partial(_mss2d_kernel, bw=bw, stride=stride, n_cols=n_cols),
         grid=(bc, n_rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -297,9 +297,9 @@ def ola_reframe(y: jnp.ndarray, win_g: jnp.ndarray, inv_env: jnp.ndarray,
         kernel,
         grid=(bc, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # frames (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),     # env even bank
-            pl.BlockSpec(memory_space=pltpu.ANY),     # env odd bank
+            pl.BlockSpec(memory_space=pl.ANY),     # frames (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),     # env even bank
+            pl.BlockSpec(memory_space=pl.ANY),     # env odd bank
             pl.BlockSpec((n1s, n2), lambda bc_, ib: (0, 0)),
             pl.BlockSpec((n2, n2), lambda bc_, ib: (0, 0)),
             pl.BlockSpec((n2, n2), lambda bc_, ib: (0, 0)),

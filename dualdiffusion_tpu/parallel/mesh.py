@@ -140,8 +140,17 @@ def shard_train_state(mesh: Mesh, state, axis_name: str = "model"):
     rule shards the whole state consistently (the FSDP property: weights,
     grads, moments and EMAs all live sharded; XLA inserts the collectives).
     """
+    multihost = jax.process_count() > 1
+
     def place(x):
         if not hasattr(x, "ndim"):
             return x
-        return jax.device_put(x, param_sharding_rule(mesh, x, axis_name))
+        sharding = param_sharding_rule(mesh, x, axis_name)
+        if multihost:
+            # every host holds the full (identically-seeded) array; build
+            # the global sharded array from host-local slices
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        return jax.device_put(x, sharding)
     return jax.tree_util.tree_map(place, state)

@@ -82,7 +82,7 @@ def pipeline_apply(fn: Callable, stacked_params, x: jnp.ndarray,
     B % num_microbatches == 0. Equivalent to sequentially applying the K
     stages (tests assert exactness vs the sequential reference).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     b = x.shape[0]
     assert b % num_microbatches == 0

@@ -23,7 +23,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def sharded_tiled_encode(encode_fn: Callable, variables, x: jnp.ndarray,

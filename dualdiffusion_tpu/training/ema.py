@@ -84,7 +84,20 @@ def solve_posthoc_coefficients(in_ofs, in_std, out_ofs, out_std) -> np.ndarray:
 
 @dataclass
 class EMAConfig:
-    """One EMA profile (reference: ema.py:193-227)."""
+    """One EMA profile (reference: ema.py:193-227).
+
+    Memory options for large models (the reference's cpu_offload analog,
+    ema.py:196,257-270):
+      * ``store_dtype="bfloat16"`` — halve the profile's HBM footprint.
+        The lerp still computes in fp32 and quantizes on store; fine for
+        short-horizon EMAs, lossy for very long ones (increments below
+        bf16 resolution stall).
+      * ``cpu_offload=True`` — the profile lives in HOST memory as numpy
+        and is updated by the Trainer after each step (one device->host
+        params fetch per step, like the reference's non_blocking
+        .to("cpu")). Zero HBM cost; incompatible with feedback/switch EMA
+        (those write back into the in-graph train weights).
+    """
     name: str
     beta: Optional[float] = None            # classic EMA
     std: Optional[float] = None             # power-function EMA
@@ -93,6 +106,8 @@ class EMAConfig:
     feedback_beta: Optional[float] = None   # lerp EMA back into train weights
     num_switch_ema_epochs: Optional[int] = None
     use_float64: bool = False
+    store_dtype: str = "float32"            # float32 | bfloat16
+    cpu_offload: bool = False
     include_in_validation: bool = True
 
     def __post_init__(self):
@@ -106,6 +121,16 @@ class EMAConfig:
             raise ValueError(f"ema '{self.name}': invalid feedback_beta")
         if self.std is not None and (self.num_warmup_steps or 0) > 0:
             raise ValueError(f"ema '{self.name}': power-function ema cannot warm up")
+        if self.store_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"ema '{self.name}': store_dtype must be "
+                             f"float32|bfloat16, got {self.store_dtype}")
+        if self.cpu_offload and (self.feedback_beta is not None
+                                 or self.num_switch_ema_epochs):
+            raise ValueError(f"ema '{self.name}': cpu_offload is incompatible "
+                             f"with feedback/switch EMA (host profile cannot "
+                             f"write back into the jitted step)")
+        if self.cpu_offload and self.use_float64:
+            raise ValueError(f"ema '{self.name}': host profiles are fp32")
 
 
 class EMABank:
@@ -121,34 +146,58 @@ class EMABank:
         if len(switch) > 1:
             raise ValueError("only one EMA can be the switch EMA")
         self.switch_ema_name = switch[0] if switch else None
+        self.offloaded = [c.name for c in configs if c.cpu_offload]
+
+    def _storage_dtype(self, cfg: EMAConfig):
+        if cfg.use_float64:
+            return jnp.float64
+        return jnp.bfloat16 if cfg.store_dtype == "bfloat16" else jnp.float32
+
+    def _beta(self, cfg: EMAConfig, total_samples_processed, batch_size,
+              global_step):
+        if cfg.beta is not None:
+            beta = jnp.float32(cfg.beta)
+        else:
+            t_next = total_samples_processed + batch_size
+            beta = power_function_beta(cfg.std, t_next, batch_size)
+        if cfg.num_warmup_steps:
+            beta = beta * jnp.minimum(global_step / cfg.num_warmup_steps, 1.0)
+        return beta
 
     def init(self, params) -> Dict[str, Any]:
+        """In-graph (device) profiles only; cpu_offload profiles live
+        host-side (host_init)."""
         out = {}
         for name, cfg in self.configs.items():
-            dtype = jnp.float64 if cfg.use_float64 else jnp.float32
+            if cfg.cpu_offload:
+                continue
+            dtype = self._storage_dtype(cfg)
             out[name] = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         return out
 
     def update(self, ema_state: Dict[str, Any], params,
                total_samples_processed, batch_size: int,
                global_step) -> tuple:
-        """One EMA step for every profile (+ feedback). Pure; call in-graph.
+        """One EMA step for every device profile (+ feedback). Pure; call
+        in-graph. Host-offloaded profiles are skipped (Trainer.host_update).
 
         Returns (new_ema_state, possibly-feedback-modified params).
         """
         new_state = {}
         new_params = params
         for name, cfg in self.configs.items():
-            if cfg.beta is not None:
-                beta = jnp.float32(cfg.beta)
-            else:
-                t_next = total_samples_processed + batch_size
-                beta = power_function_beta(cfg.std, t_next, batch_size)
-            if cfg.num_warmup_steps:
-                beta = beta * jnp.minimum(global_step / cfg.num_warmup_steps, 1.0)
-            b = beta.astype(jnp.float64) if cfg.use_float64 else beta.astype(jnp.float32)
+            if cfg.cpu_offload:
+                continue
+            beta = self._beta(cfg, total_samples_processed, batch_size,
+                              global_step)
+            # lerp in the accumulation dtype (fp32/fp64), quantize on store
+            # (bf16 storage halves HBM; see EMAConfig docstring)
+            acc = jnp.float64 if cfg.use_float64 else jnp.float32
+            store = self._storage_dtype(cfg)
+            b = beta.astype(acc)
             ema = jax.tree_util.tree_map(
-                lambda e, p: e * b + p.astype(e.dtype) * (1.0 - b),
+                lambda e, p: (e.astype(acc) * b
+                              + p.astype(acc) * (1.0 - b)).astype(store),
                 ema_state[name], params)
             new_state[name] = ema
             if cfg.feedback_beta is not None:
@@ -157,6 +206,34 @@ class EMABank:
                     lambda p, e: p * fb + e.astype(p.dtype) * (1.0 - fb),
                     new_params, ema)
         return new_state, new_params
+
+    # ---- host-offloaded profiles (reference cpu_offload, ema.py:257-270) --
+    def host_init(self, params_np) -> Dict[str, Any]:
+        """Initialize the host-resident profiles from a numpy params tree."""
+        out = {}
+        for name in self.offloaded:
+            out[name] = jax.tree_util.tree_map(
+                lambda p: np.asarray(p, np.float32).copy(), params_np)
+        return out
+
+    def host_update(self, host_state: Dict[str, Any], params_np,
+                    total_samples_processed: int, batch_size: int,
+                    global_step: int) -> Dict[str, Any]:
+        """One EMA step for the host profiles (numpy, in-place on the
+        state's buffers to avoid re-allocation)."""
+        for name in self.offloaded:
+            cfg = self.configs[name]
+            b = float(self._beta(cfg, total_samples_processed, batch_size,
+                                 global_step))
+
+            def lerp(e, p):
+                e *= b
+                e += np.asarray(p, np.float32) * (1.0 - b)
+                return e
+
+            host_state[name] = jax.tree_util.tree_map(
+                lerp, host_state[name], params_np)
+        return host_state
 
     def get_betas(self, total_samples_processed: int, batch_size: int) -> Dict[str, float]:
         out = {}

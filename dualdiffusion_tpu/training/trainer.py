@@ -92,6 +92,20 @@ class LoggingConfig:
 
 
 @dataclass
+class ParallelConfig:
+    """Mesh layout for the production trainer (SURVEY.md §2.10).
+
+    model_axis > 1 builds a (data, model) mesh and shards weights,
+    optimizer moments and EMA profiles over 'model' (tensor parallel);
+    fsdp=True shards them over 'data' instead (ZeRO-3 style — XLA
+    all-gathers weights per layer and reduce-scatters grads). The
+    reference has no analog (single-node DDP only, trainer.py:242-293)."""
+    model_axis: int = 1
+    fsdp: bool = False
+    num_dcn_slices: int = 1
+
+
+@dataclass
 class TrainerConfig:
     model_path: str = ""
     model_name: str = "model"
@@ -123,6 +137,7 @@ class TrainerConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     dataloader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
     logging: LoggingConfig = field(default_factory=LoggingConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
     emas: Dict[str, dict] = field(default_factory=dict)
 
 
@@ -199,6 +214,9 @@ class Trainer:
         self.total_train_hours = 0.0
         self.epoch = 0
         self._pending_sample_losses: Dict[str, float] = {}
+        # host-resident EMA profiles (EMAConfig.cpu_offload — the
+        # reference's ema.py:257-270 analog); initialized at first step
+        self.host_ema: Optional[Dict[str, Any]] = None
         lrc = config.lr_schedule
         self._lr_fn = lr_schedule(lrc.lr_schedule, lrc.learning_rate,
                                   lrc.lr_warmup_steps, lrc.lr_reference_steps,
@@ -270,12 +288,15 @@ class Trainer:
             if self.export_module_fn is not None:
                 self.export_module_fn(ckpt, self.state.params)
 
-            # 2. EMA profiles
+            # 2. EMA profiles (device + host-offloaded)
             if self.ema_bank is not None:
                 from ..pipelines.pipeline import _flatten
                 for name in self.ema_bank.configs:
+                    ep = self._ema_params(name)
+                    if ep is None:
+                        continue  # offloaded profile not initialized yet
                     save_safetensors(
-                        _flatten(self.state.ema_state[name]),
+                        _flatten(ep),
                         ckpt / self.config.module_name / f"ema_{name}.safetensors",
                         metadata={"std": str(self.ema_bank.configs[name].std),
                                   "global_step": str(step)})
@@ -333,6 +354,20 @@ class Trainer:
             restored = ckptr.restore((ckpt / "train_state").absolute(),
                                      item=self.state)
         self.state = restored
+        # host-offloaded EMA profiles are not in the orbax train_state;
+        # restore them from the checkpoint's ema safetensors
+        if self.ema_bank is not None and self.ema_bank.offloaded:
+            from ..pipelines.pipeline import _unflatten
+            from ..utils import load_safetensors
+            self.host_ema = {}
+            for name in self.ema_bank.offloaded:
+                p = ckpt / self.config.module_name / f"ema_{name}.safetensors"
+                if p.is_file():
+                    self.host_ema[name] = jax.tree_util.tree_map(
+                        lambda v: np.asarray(v, np.float32),
+                        _unflatten(load_safetensors(p)))
+            if not self.host_ema:
+                self.host_ema = None
         ts = load_json(ckpt / "trainer_state.json")
         self.epoch = ts.get("epoch", 0)
         self.total_train_hours = ts.get("total_train_hours", 0.0)
@@ -377,6 +412,7 @@ class Trainer:
                 paths = batch.pop("paths", None)
                 self._maybe_profile(int(self.state.global_step))
                 self.state, logs = self.train_step(self.state, batch)
+                self._update_host_emas()
                 step = int(self.state.global_step)
                 loss = float(logs["loss"])
                 if not np.isfinite(loss):
@@ -469,6 +505,34 @@ class Trainer:
                 self.save_checkpoint()
         return self.state
 
+    def _update_host_emas(self) -> None:
+        """Per-step update of cpu_offload EMA profiles: one device->host
+        params fetch, numpy lerp (reference: ema.py:257-270 non-blocking
+        CPU copies). The beta uses the PRE-step counters, matching the
+        in-graph EMABank.update semantics exactly."""
+        bank = self.ema_bank
+        if bank is None or not bank.offloaded:
+            return
+        params_np = jax.device_get(self.state.params)
+        if self.host_ema is None:  # first step from scratch (no resume)
+            self.host_ema = bank.host_init(params_np)
+            return
+        for name in bank.offloaded:  # partial restore: seed missing ones
+            if name not in self.host_ema:
+                self.host_ema[name] = jax.tree_util.tree_map(
+                    lambda p: np.asarray(p, np.float32).copy(), params_np)
+        tsp = int(self.state.total_samples_processed)
+        self.host_ema = bank.host_update(
+            self.host_ema, params_np,
+            tsp - self.total_batch_size, self.total_batch_size,
+            int(self.state.global_step) - 1)
+
+    def _ema_params(self, name: str):
+        """The current weights of one EMA profile (device or host)."""
+        if self.ema_bank is not None and name in self.ema_bank.offloaded:
+            return None if self.host_ema is None else self.host_ema[name]
+        return self.state.ema_state[name]
+
     def _maybe_archive_emas(self, step: int) -> None:
         """bf16 EMA archive snapshots every num_archive_steps for post-hoc
         reconstruction (reference: ema.py:316-321)."""
@@ -477,11 +541,14 @@ class Trainer:
         for name, cfg in self.ema_bank.configs.items():
             n = cfg.num_archive_steps
             if n and step % n == 0:
+                ep = self._ema_params(name)
+                if ep is None:
+                    continue
                 path = Path(self.config.model_path) / \
                     f"{self.config.module_name}_ema_archive" / \
                     f"{step}_ema_{name}.safetensors"
                 path.parent.mkdir(parents=True, exist_ok=True)
-                save_ema_archive(self.state.ema_state[name], str(path), step,
+                save_ema_archive(ep, str(path), step,
                                  int(self.state.total_samples_processed),
                                  cfg.std or 0.0)
                 logger.info("archived ema '%s' at step %d", name, step)
@@ -494,9 +561,11 @@ class Trainer:
         candidates = {"train": self.state.params}
         if self.ema_bank is not None:
             for name in self.ema_bank.validation_emas():
+                ep = self._ema_params(name)
+                if ep is None:
+                    continue
                 candidates[f"ema_{name}"] = jax.tree_util.tree_map(
-                    lambda e: e.astype(jnp.float32),
-                    self.state.ema_state[name])
+                    lambda e: jnp.asarray(e, jnp.float32), ep)
         results: Dict[str, float] = {}
         key = _jax.random.PRNGKey(0)  # fixed key: comparable across epochs
         for name, params in candidates.items():

@@ -40,14 +40,21 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     env = os.environ.get("DD_JAX_CACHE_DIR")
     if env is not None and env.strip().lower() in _DISABLE:
         return None
+
+    import jax
+
+    # CPU: compiles are fast and the serialized executables are AOT blobs
+    # that spam machine-feature warnings on every load — only cache when a
+    # dir was explicitly requested. TPU is where the minutes-long e2e
+    # compiles live.
+    if jax.default_backend() != "tpu" and not (env or cache_dir):
+        return None
     path = Path(cache_dir or env or default_cache_dir())
     try:
         path.mkdir(parents=True, exist_ok=True)
     except OSError as e:  # read-only fs etc — run uncached
         logger.warning("compilation cache disabled (%s): %s", path, e)
         return None
-
-    import jax
 
     jax.config.update("jax_compilation_cache_dir", str(path))
     # cache everything that took non-trivial compile time; the default

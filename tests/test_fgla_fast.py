@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini
+
 from dualdiffusion_tpu.ops import get_window
 from dualdiffusion_tpu.ops.fgla import griffinlim
 from dualdiffusion_tpu.ops.fgla_fast import (dft_digit_fwd, dft_digit_inv,

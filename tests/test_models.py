@@ -20,6 +20,7 @@ def tiny_unet_cfg(**kw):
     return UNetConfig(**d)
 
 
+@pytest.mark.slow
 def test_unet_2d_forward(key):
     cfg = tiny_unet_cfg()
     model = UNet(cfg)
@@ -32,6 +33,7 @@ def test_unet_2d_forward(key):
     assert bool(jnp.isfinite(y).all())
 
 
+@pytest.mark.slow
 def test_unet_preconditioning_limits(key):
     """At huge sigma, D_x ~ c_out*F (c_skip~0); at tiny sigma D_x ~ x."""
     cfg = tiny_unet_cfg()
@@ -43,6 +45,7 @@ def test_unet_preconditioning_limits(key):
                                rtol=1e-2, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_unet_3d_with_attention(key):
     cfg = tiny_unet_cfg(use_3d=True, attn_levels=(1,), attn_axis="freq")
     model = UNet(cfg)
@@ -69,6 +72,7 @@ def test_unet_label_embeddings_cfg(key):
     assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_unet_ddec_psd_conditioning(key):
     cfg = tiny_unet_cfg(in_num_freqs=16, in_psd_freqs=64)
     model = UNet(cfg)
@@ -98,6 +102,7 @@ def test_unet_logvar_head(key):
     np.testing.assert_allclose(np.asarray(lv), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unet_jit_and_grad(key):
     cfg = tiny_unet_cfg()
     model = UNet(cfg)
@@ -127,6 +132,7 @@ def tiny_dae_cfg(**kw):
     return DAEConfig(**d)
 
 
+@pytest.mark.slow
 def test_dae_roundtrip_shapes(key):
     cfg = tiny_dae_cfg()
     model = DAE(cfg)
@@ -164,6 +170,7 @@ def test_dae_latent_normalization(key):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dae_supersampled_shift_equivariance(key):
     """d3-series: latents of a ds-shifted input == shifted latents."""
     cfg = tiny_dae_cfg(supersampled=True, clip_act=1e6)
@@ -180,6 +187,7 @@ def test_dae_supersampled_shift_equivariance(key):
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_dae_tiled_encode_matches_full(key):
     cfg = tiny_dae_cfg()
     model = DAE(cfg)
@@ -213,6 +221,7 @@ def test_top_pca_components(key):
     assert abs(float(out.mean())) < 1e-4
 
 
+@pytest.mark.slow
 def test_remat_blocks_same_loss_and_grads():
     """remat_blocks changes memory, not math: identical loss/grads."""
     import jax

@@ -77,6 +77,7 @@ def test_vae_latents_out_gain_init(key):
     np.testing.assert_allclose(gain, expected, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_discriminator(key):
     cfg = DiscriminatorConfig(in_channels=1, in_channels_emb=32,
                               model_channels=8, num_layers=2)
@@ -90,6 +91,7 @@ def test_discriminator(key):
     assert kld.shape == (2,) and bool(jnp.isfinite(kld).all())
 
 
+@pytest.mark.slow
 def test_inpainting_conversion(tmp_path, key):
     from dualdiffusion_tpu.models.unet import UNet, UNetConfig
     from dualdiffusion_tpu.pipelines import (Pipeline, ModuleHandle,

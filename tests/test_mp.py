@@ -228,6 +228,7 @@ def test_filtered_downsample_module(key):
     assert y.shape == (1, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_grouped_conv_matches_lax_conv(rng):
     """The per-tap batched-matmul grouped conv path must equal
     lax.conv_general_dilated(feature_group_count) exactly."""

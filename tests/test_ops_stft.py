@@ -57,6 +57,7 @@ def test_istft_matches_torch(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stft_istft_roundtrip_hann32(rng):
     """The project's tuned window: hann**32, 25x overlap."""
     n_fft, hop = 800, 32

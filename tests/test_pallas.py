@@ -99,6 +99,7 @@ def test_mss2d_kernel_gradients_match_jnp(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mss2d_fused_trains(rng):
     """mss2d_loss_fused is differentiable end-to-end (kernel + fallback)."""
     s = jnp.asarray(rng.standard_normal((1, 2, 40, 64)).astype(np.float32))

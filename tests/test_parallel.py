@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini
 import jax
 import jax.numpy as jnp
 

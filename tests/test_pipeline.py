@@ -106,6 +106,7 @@ def test_prompt_embedding(key):
     assert e2 is not None
 
 
+@pytest.mark.slow
 def test_generate_end_to_end(key):
     pipe = make_pipeline(key)
     params = SampleParams(steps=2, use_heun=False, cfg_scale=1.5,
@@ -122,6 +123,7 @@ def test_unknown_module_type():
         get_module_class("bogus_type")
 
 
+@pytest.mark.slow
 def test_generate_img2img_from_audio(key):
     pipe = make_pipeline(key)
     params = SampleParams(steps=2, use_heun=False, cfg_scale=1.0,
@@ -167,6 +169,7 @@ def test_ddec_width_alignment():
     assert fmt.get_mdct_shape(1, 65536)[2] == mel_shape[2]
 
 
+@pytest.mark.slow
 def test_per_module_device_placement(key):
     """Pipeline.to commits each module's params to its mapped device and
     generate still runs with a heterogeneous map (virtual 8-CPU mesh)."""

@@ -20,6 +20,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini
+
 torch = pytest.importorskip("torch")
 
 REFERENCE_SRC = Path("/root/reference/src")

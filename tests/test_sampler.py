@@ -45,6 +45,7 @@ def test_sampler_converges_to_target(heun):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_sampler_deterministic_by_seed():
     # input-dependent denoiser so the noise trajectory shapes the output
     def fn(x, sigma):
@@ -61,6 +62,7 @@ def test_sampler_deterministic_by_seed():
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_sampler_seamless_loop_shapes():
     def fn(x, sigma):
         assert x.shape[-2] == 64 + 64  # padded by LOOP_PAD each side
@@ -72,6 +74,7 @@ def test_sampler_seamless_loop_shapes():
     assert out.shape == (1, 8, 64, 2)
 
 
+@pytest.mark.slow
 def test_sampler_cfg_scale_effect():
     """cfg_scale != 1 must blend cond/uncond halves differently."""
     def fn(x, sigma):
@@ -115,6 +118,7 @@ def test_sampler_jits_once():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_edm_sample_deterministic_golden():
     """Determinism lock: same key + params must reproduce these values
     (guards against accidental semantic changes to the sampler loop).

@@ -11,6 +11,8 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute: see pytest.ini
 import jax
 
 from test_pipeline import make_pipeline  # tiny unet+dae+format pipeline

@@ -169,6 +169,7 @@ def test_mss_1d_zero_for_identical(key):
     assert (np.asarray(b) > 1e-4).all()
 
 
+@pytest.mark.slow
 def test_mss_2d(key):
     m = L.MSSLoss2D(L.MSSLoss2DConfig(block_widths=(8, 16)))
     x = jax.random.normal(key, (2, 2, 32, 32))
@@ -178,12 +179,14 @@ def test_mss_2d(key):
     assert (np.asarray(nz) > 1e-3).all()
 
 
+@pytest.mark.slow
 def test_random_prime_mss(key):
     x = jax.random.normal(key, (2, 2, 64, 128))
     zero = L.random_prime_mss_2d(key, x, x, num_iterations=4)
     np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_wavelet_and_kl_and_dispersion(key):
     x = jax.random.normal(key, (2, 16, 16, 2))
     np.testing.assert_allclose(np.asarray(L.wavelet_loss(x, x)), 0.0, atol=1e-6)
@@ -229,6 +232,7 @@ def _build(key, grad_accum=1, total_batch=4):
     return step, state
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(key):
     step, state = _build(key, grad_accum=2, total_batch=4)
     batch = {"samples": jax.random.normal(key, (4, 8, 16, 4)),
@@ -248,6 +252,7 @@ def test_train_step_runs_and_learns(key):
     assert float(logs1["bucket_counts"].sum()) == 4
 
 
+@pytest.mark.slow
 def test_train_step_8device_mesh(key):
     """Full DP train step over the virtual 8-device CPU mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -361,6 +366,7 @@ def _tiny_dual_fmt():
     return MSMDCTDualFormat(MSMDCTDualFormatConfig())
 
 
+@pytest.mark.slow
 def test_dae_train_step_smoke(rng):
     """One DAE train step end-to-end incl. the equivariance loss."""
     import jax
@@ -397,6 +403,7 @@ def test_dae_train_step_smoke(rng):
     assert int(new_state.global_step) == 1
 
 
+@pytest.mark.slow
 def test_joint_dae_ddec_train_step_smoke(rng):
     """One joint DAE+DDEC step: both losses finite, both subtrees update."""
     import jax
@@ -460,6 +467,7 @@ def test_joint_dae_ddec_train_step_smoke(rng):
     assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_prime_mss_1d_matches_torch_golden(rng):
     """Golden: prime-width 1D MSS equals the reference math evaluated in
     torch (flat-top (k+0.5)/n window, ortho rfft2 over (block, width),
@@ -493,6 +501,7 @@ def test_prime_mss_1d_matches_torch_golden(rng):
     assert z < 1e-6
 
 
+@pytest.mark.slow
 def test_per_sample_loss_logging(key, tmp_path):
     """The train step must report per-sample losses and the trainer must
     flush them to per_sample_losses.json (ADVICE r1: this was a silent
@@ -519,6 +528,7 @@ def test_per_sample_loss_logging(key, tmp_path):
     assert vals == sorted(vals, reverse=True)
 
 
+@pytest.mark.slow
 def test_dae_trainer_fused_mss2d(key):
     """DAE train step with the fused Pallas MSS2D recon loss (interpret on
     CPU) runs and produces finite losses/grads."""
@@ -548,3 +558,48 @@ def test_dae_trainer_fused_mss2d(key):
     new_state, logs = jax.jit(step)(state, {"audio": audio})
     assert np.isfinite(float(logs["loss"]))
     assert logs["sample_losses"].shape == (2,)
+
+
+def test_ema_store_dtype_and_cpu_offload(key):
+    """bf16-stored profiles track the fp32 profile closely; host-offloaded
+    (numpy) profiles match the in-graph update bit-for-bit in fp32
+    (EMAConfig store_dtype / cpu_offload — reference ema.py:196,257-270)."""
+    from dualdiffusion_tpu.training.ema import EMABank, EMAConfig
+
+    params = {"w": jax.random.normal(key, (16, 8)),
+              "b": jnp.zeros((16,))}
+    bank = EMABank([EMAConfig(name="f32", std=0.05),
+                    EMAConfig(name="bf16", std=0.05, store_dtype="bfloat16"),
+                    EMAConfig(name="host", std=0.05, cpu_offload=True)])
+    assert bank.offloaded == ["host"]
+    state = bank.init(params)
+    assert set(state) == {"f32", "bf16"}          # host profile not in-graph
+    assert state["bf16"]["w"].dtype == jnp.bfloat16
+
+    host = bank.host_init(jax.device_get(params))
+    p = params
+    for step in range(1, 6):
+        p = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jax.random.normal(
+                jax.random.fold_in(key, step), x.shape), p)
+        tsp = (step - 1) * 4
+        state, _ = bank.update(state, p, jnp.float32(tsp), 4,
+                               jnp.float32(step - 1))
+        host = bank.host_update(host, jax.device_get(p), tsp, 4, step - 1)
+
+    # bf16 storage stays within quantization distance of the fp32 profile
+    err = float(jnp.abs(state["bf16"]["w"].astype(jnp.float32)
+                        - state["f32"]["w"]).max())
+    assert err < 2e-2, err
+    # host profile == device fp32 profile (same math, numpy vs jnp)
+    np.testing.assert_allclose(host["host"]["w"],
+                               np.asarray(state["f32"]["w"]), atol=1e-6)
+
+
+def test_ema_cpu_offload_validation():
+    from dualdiffusion_tpu.training.ema import EMAConfig
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        EMAConfig(name="x", std=0.05, cpu_offload=True, feedback_beta=0.5)
+    with _pytest.raises(ValueError):
+        EMAConfig(name="x", std=0.05, store_dtype="float16")

@@ -26,9 +26,13 @@ def main():
     ap.add_argument("--dataset_path", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max_steps", type=int, default=None)
-    ap.add_argument("--num_dcn_slices", type=int, default=1,
+    ap.add_argument("--num_dcn_slices", type=int, default=None,
                     help="multi-slice: number of DCN-connected slices "
-                         "(data-parallel outer blocks ride DCN)")
+                         "(data-parallel outer blocks ride DCN); overrides "
+                         "the config's parallel.num_dcn_slices")
+    ap.add_argument("--model_axis", type=int, default=None,
+                    help="tensor-parallel width (overrides the config's "
+                         "parallel.model_axis)")
     args = ap.parse_args()
 
     # multi-host: initialize the distributed runtime BEFORE any jax use
@@ -58,14 +62,29 @@ def main():
     logger.info("process %d/%d, %d local / %d global devices",
                 jax.process_index(), jax.process_count(),
                 jax.local_device_count(), jax.device_count())
-    mesh = make_mesh(MeshConfig(num_dcn_slices=args.num_dcn_slices))
+    pconf = tconf.parallel
+    if args.model_axis is not None:
+        pconf.model_axis = args.model_axis
+    if args.num_dcn_slices is not None:
+        pconf.num_dcn_slices = args.num_dcn_slices
+    mesh = make_mesh(MeshConfig(model_axis=pconf.model_axis,
+                                num_dcn_slices=pconf.num_dcn_slices))
+    logger.info("mesh: %s (model_axis=%d, fsdp=%s)",
+                dict(mesh.shape), pconf.model_axis, pconf.fsdp)
 
     pipeline = Pipeline.from_pretrained(args.model_path, load_checkpoints=False)
     key = jax.random.PRNGKey(tconf.seed)
 
     builder = get_module_trainer(tconf.module_trainer)
     step, state, export_fn, ema_bank, batch_adapter = builder(pipeline, tconf, key)
-    if jax.process_count() > 1:
+    if pconf.model_axis > 1 or pconf.fsdp:
+        # tensor-parallel / FSDP: weights + moments + EMA profiles sharded
+        # over the chosen mesh axis; GSPMD inserts the per-layer
+        # all-gathers and grad reduce-scatters (parallel/mesh.py)
+        from dualdiffusion_tpu.parallel import shard_train_state
+        axis = "model" if pconf.model_axis > 1 else "data"
+        state = shard_train_state(mesh, state, axis_name=axis)
+    elif jax.process_count() > 1:
         from dualdiffusion_tpu.parallel import replicate_state
         state = replicate_state(mesh, state)
     # donate the train state: without donation the input and output state
