@@ -145,7 +145,8 @@ def make_ddec_stage(args, mel_h: int, mel_w: int, key):
                           model_channels=32, channel_mult=(1, 2, 3, 4),
                           channel_mult_noise=4, channel_mult_emb=4,
                           channels_per_head=64, num_layers_per_block=3,
-                          mlp_multiplier=2, logvar_channels=128)
+                          mlp_multiplier=2, logvar_channels=128,
+                          w_pack_channels=128)
     ddec = UNet(ddec_cfg)
     mdct_shape = mfmt.get_mdct_shape_for_mel_frames(1, mel_w)
     ddvars = jax.jit(lambda k: ddec.init(

@@ -76,3 +76,107 @@ def combine_models(model_path_a: Union[str, Path], model_path_b: Union[str, Path
         lambda a, b: a * (1.0 - t) + b * t, va, vb)
     save_module(output_path, module_name, type_a, config, blended)
     logger.info("wrote blended module (t=%.3f) to %s", t, output_path)
+
+
+# ---------------------------------------------------------------------------
+# reference (torch) UNet checkpoint -> this framework's variables tree
+# ---------------------------------------------------------------------------
+
+def _torch_key_to_flax_path(key: str):
+    """Map one reference UNet state-dict key to this repo's flax param path.
+
+    Reference naming (src/modules/unets/unet_edm2_q4_ddec.py:224-305 and
+    unet_edm2_d1.py:224-330): enc.conv_in / enc.block{l}_down /
+    enc.block{l}_layer{i} / dec.block{l}_in0|in1 / dec.block{l}_up /
+    dec.block{l}_layer{i}, each with conv_res0/conv_res1/conv_skip/
+    emb_gain/emb_linear (+ attn_qk/attn_v/attn_proj and the qk/v emb gains),
+    plus top-level emb_noise/emb_label/emb_label_unconditional/
+    logvar_linear/conv_out/out_gain. Weight layouts are identical
+    ((out, in//groups, *kernel)); only names translate.
+    """
+    import re
+
+    parts = key.split(".")
+
+    def leaf(mod_parts):
+        # trailing parameter name -> flax leaf name
+        tail = mod_parts[-1]
+        if tail == "weight":
+            return mod_parts[:-1], "w_mp"
+        if tail == "bias":
+            return mod_parts[:-1], "bias"
+        return mod_parts, None  # scalar params (emb_gain, out_gain)
+
+    if parts[0] in ("enc", "dec"):
+        block = parts[1]
+        m = re.fullmatch(r"conv_in", block)
+        if m:
+            mods, l = leaf(parts[2:])
+            return ("core", "enc_conv_in") + tuple(mods) + ((l,) if l else ())
+        m = re.fullmatch(r"block(\d+)_(down|up|in0|in1)", block)
+        if m:
+            lvl, kind = m.groups()
+            name = f"{parts[0]}_b{lvl}_{kind}"
+        else:
+            m = re.fullmatch(r"block(\d+)_layer(\d+)", block)
+            if not m:
+                raise KeyError(f"unrecognized block key: {key}")
+            lvl, idx = m.groups()
+            name = f"{parts[0]}_b{lvl}_l{idx}"
+        rest = parts[2:]
+        if rest == ["emb_gain"]:
+            return ("core", name, "emb_gain")
+        if rest in (["emb_gain_qk"], ["emb_gain_v"]):
+            return ("core", name, rest[0])
+        if rest[0] in ("emb_linear_qk", "emb_linear_v"):
+            mods, l = leaf(rest)
+            return ("core", name) + tuple(mods) + ((l,) if l else ())
+        mods, l = leaf(rest)
+        return ("core", name) + tuple(mods) + ((l,) if l else ())
+    if parts == ["out_gain"]:
+        return ("core", "out_gain")
+    if parts[0] == "conv_out":
+        mods, l = leaf(parts)
+        return ("core",) + tuple(mods) + ((l,) if l else ())
+    if parts[0] == "emb_noise":
+        mods, l = leaf(parts)
+        return ("core",) + tuple(mods) + ((l,) if l else ())
+    if parts[0] in ("emb_label", "emb_label_unconditional"):
+        mods, l = leaf(parts)
+        return tuple(mods) + ((l,) if l else ())
+    if parts[0] == "logvar_linear":
+        mods, l = leaf(parts)
+        # disable_weight_norm -> raw weight name
+        return tuple(mods) + (("w_raw",) if l == "w_mp" else (l,))
+    raise KeyError(f"unrecognized reference UNet key: {key}")
+
+
+def torch_unet_state_to_variables(state_dict, template_variables):
+    """Convert a reference torch UNet state dict (numpy-valued) into this
+    repo's flax variables tree, validated against ``template_variables``
+    (an initialized tree of the matching UNetConfig).
+
+    Buffers (MPFourier freqs/phases) carry no information — both
+    implementations compute them from the same formula — and are skipped.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat_t = flatten_dict(template_variables["params"])
+    out = dict(flat_t)
+    used = set()
+    for key, val in state_dict.items():
+        if key.endswith(("freqs", "phases")):  # MPFourier buffers
+            continue
+        path = _torch_key_to_flax_path(key)
+        if path not in flat_t:
+            raise KeyError(f"{key} -> {path} not in template tree; "
+                           f"have e.g. {list(flat_t)[:5]}")
+        tval = flat_t[path]
+        val = np.asarray(val, np.float32).reshape(np.shape(tval))
+        out[path] = jnp.asarray(val)
+        used.add(path)
+    missing = set(flat_t) - used
+    if missing:
+        raise KeyError(f"template params not covered by state dict: "
+                       f"{sorted(missing)[:8]}")
+    return dict(template_variables, params=unflatten_dict(out))

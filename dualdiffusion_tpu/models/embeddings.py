@@ -125,10 +125,13 @@ class CLAPEmbedding:
             audio = np.interp(np.linspace(0, len(audio) - 1, n_out),
                               np.arange(len(audio)), audio)
         chunk = int(self.config.audio_embedding_duration * self.config.sample_rate)
-        n_chunks = max(1, int(np.ceil(len(audio) / chunk)))
-        pad = n_chunks * chunk - len(audio)
-        audio = np.pad(audio, (0, pad))
-        return audio.reshape(n_chunks, chunk).astype(np.float32)
+        if len(audio) < chunk:
+            raise ValueError(f"cannot encode audio embedding, audio too "
+                             f"short (len: {len(audio)} < chunk {chunk})")
+        # truncate the partial tail chunk — reference behavior
+        # (clap.py:100-104: audio[:len // chunk * chunk].reshape(-1, chunk))
+        n_chunks = len(audio) // chunk
+        return audio[:n_chunks * chunk].reshape(n_chunks, chunk).astype(np.float32)
 
     def encode_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
         """(C, T) or (T,) audio -> (num_chunks, output_dim) embeddings."""

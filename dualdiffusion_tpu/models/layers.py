@@ -27,7 +27,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from .mp import mp_silu, mp_sum_groups, normalize
+
+
+@lru_cache(maxsize=64)
+def _pack_sel(kw: int, cross: int, p: int) -> np.ndarray:
+    """Tap-routing tensor for the W-packed conv expansion:
+    sel[dx, dw, j_in, j_out] = 1 iff unpacked input position
+    j_in + p*(dw - cross//2) equals output position j_out + (dx - kw//2)."""
+    sel = np.zeros((kw, cross, p, p), np.float32)
+    for dx in range(kw):
+        off = dx - kw // 2
+        for dw in range(cross):
+            for ji in range(p):
+                for jo in range(p):
+                    if ji + p * (dw - cross // 2) == jo + off:
+                        sel[dx, dw, ji, jo] = 1.0
+    return sel
 
 MP_WEIGHT_NAME = "w_mp"
 RAW_WEIGHT_NAME = "w_raw"
@@ -57,7 +75,7 @@ class MPConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, gain: Union[float, jnp.ndarray] = 1.0,
                  training: bool = False, grouped_in: bool = False,
-                 grouped_out: bool = False) -> jnp.ndarray:
+                 grouped_out: bool = False, w_pack: int = 1) -> jnp.ndarray:
         kshape = (self.out_channels, self.in_channels // self.groups) + tuple(self.kernel)
         init = nn.initializers.zeros if self.zero_init else nn.initializers.normal(1.0)
         name = RAW_WEIGHT_NAME if self.disable_weight_norm else MP_WEIGHT_NAME
@@ -74,6 +92,8 @@ class MPConv(nn.Module):
 
         if len(self.kernel) == 0:
             out = jnp.matmul(x, w.T.astype(x.dtype))
+        elif w_pack > 1:
+            out = self._packed_conv(x, w, w_pack)
         else:
             out = self._conv(x, w, grouped_in=grouped_in,
                              grouped_out=grouped_out)
@@ -92,8 +112,39 @@ class MPConv(nn.Module):
             sign = np.where(np.arange(self.out_channels) % 2 == 0, 1.0, -1.0)
             bias = self.param("bias", lambda key, s: jnp.asarray(
                 sign / np.sqrt(group_dim), jnp.float32), (self.out_channels,))
+            if w_pack > 1:  # packed channel order is (j, c) -> tile
+                bias = jnp.tile(bias, w_pack)
             out = out + bias.astype(out.dtype)
         return out
+
+    def _packed_conv(self, x: jnp.ndarray, w: jnp.ndarray,
+                     p: int) -> jnp.ndarray:
+        """W-packed 2D conv: exactly the unpacked conv, on a W-folded
+        layout that keeps the TPU's 128-lane dim dense.
+
+        ``x`` is (B, H, W/p, p*C_in) with packed channel order (j, c) —
+        i.e. a free reshape of the NHWC array (linear memory order is
+        unchanged). The kernel is expanded to (kh, cross, p*C_in, p*C_out)
+        where tap (dx) contributions map to within-pack and +/-1-pack
+        offsets; the expansion is exact (the reference conv computes the
+        identical sums) and the expanded conv runs at full MXU lane
+        utilization for C_in < 128 — low-channel UNet levels (the DDEC's
+        256x5504 grid at 32 ch) were measured at 4x lane padding waste and
+        ~150 layout copies per forward without it.
+        """
+        assert self.groups == 1 and self.stride == 1 and len(self.kernel) == 2
+        kh, kw = self.kernel
+        whwio = jnp.transpose(w, (2, 3, 1, 0)).astype(x.dtype)  # (kh,kw,Ci,Co)
+        cross = 3 if kw > 1 else 1
+        assert kw <= 2 * p + 1, "kernel reach exceeds one pack"
+        sel = jnp.asarray(_pack_sel(kw, cross, p), x.dtype)
+        w_exp = jnp.einsum("yxio,xwab->ywaibo", whwio, sel).reshape(
+            kh, cross, p * self.in_channels, p * self.out_channels)
+        pads = [(kh // 2, kh // 2), (cross // 2, cross // 2)]
+        dn = jax.lax.conv_dimension_numbers(x.shape, w_exp.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(x, w_exp, (1, 1), pads,
+                                            dimension_numbers=dn)
 
     def _conv(self, x: jnp.ndarray, w: jnp.ndarray, grouped_in: bool = False,
               grouped_out: bool = False) -> jnp.ndarray:
@@ -365,3 +416,58 @@ class FilteredDownsample2D(nn.Module):
             xp, rhs, window_strides=(self.stride, self.stride), padding="VALID",
             dimension_numbers=dn, feature_group_count=c)
         return out.reshape(lead + out.shape[1:])
+
+
+def filtered_downsample_3d(x: jnp.ndarray, k_size: int = 7, beta: float = 1.5,
+                           factor: int = 2) -> jnp.ndarray:
+    """Stereo-folded 3D anti-aliased downsample: filters H and W per
+    z-plane, z untouched; per-axis kernel gain sqrt(factor) (total gain =
+    factor — the 3D variants are energy-preserving, unlike the 2D ones:
+    reference resample.py:196-199 vs :131-134). x: (..., Z, H, W, C)."""
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta) * np.sqrt(factor)
+    x = _sep_conv_axis(x, k, axis=-2, stride=factor)   # W
+    x = _sep_conv_axis(x, k, axis=-3, stride=factor)   # H
+    return x
+
+
+def filtered_upsample_3d(x: jnp.ndarray, k_size: int = 15, beta: float = 1.5,
+                         factor: int = 2) -> jnp.ndarray:
+    """Zero-stuff H/W then kaiser-sinc interpolate, per-axis gain
+    sqrt(factor) (reference: resample.py:201-215). x: (..., Z, H, W, C)."""
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta) * np.sqrt(factor)
+    h, w = x.shape[-3], x.shape[-2]
+    z = jnp.zeros(x.shape[:-3] + (h * factor, w * factor, x.shape[-1]), x.dtype)
+    z = z.at[..., ::factor, ::factor, :].set(x)
+    z = _sep_conv_axis(z, k, axis=-2, stride=1)
+    z = _sep_conv_axis(z, k, axis=-3, stride=1)
+    return z
+
+
+def filtered_mp_silu_3d(x: jnp.ndarray, k_size: int = 7,
+                        beta: float = 1.5) -> jnp.ndarray:
+    """Alias-suppressed MP-SiLU for stereo-folded 3D tensors: upsample 2x
+    -> silu -> downsample 2x (reference: resample.py:216-225)."""
+    up = filtered_upsample_3d(x, k_size=k_size * 2 + k_size % 2, beta=beta,
+                              factor=2)
+    return filtered_downsample_3d(mp_silu(up), k_size=k_size, beta=beta,
+                                  factor=2)
+
+
+def filtered_downsample_1d3(x: jnp.ndarray, k_size: int = 7,
+                            beta: float = 1.5, factor: int = 2) -> jnp.ndarray:
+    """W-axis-only filtered downsample of a stereo-folded 3D tensor
+    (reference: resample.py:262-265). Channel-last: identical math to the
+    1D variant applied at axis=-2."""
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta)
+    return _sep_conv_axis(x, k, axis=-2, stride=factor)
+
+
+def filtered_upsample_1d3(x: jnp.ndarray, k_size: int = 15,
+                          beta: float = 1.5, factor: int = 2) -> jnp.ndarray:
+    """W-axis-only filtered upsample (gain = factor; reference:
+    resample.py:267-280)."""
+    k = _kaiser_sinc_1d(k_size, 1.0 / factor, beta) * factor
+    w = x.shape[-2]
+    z = jnp.zeros(x.shape[:-2] + (w * factor, x.shape[-1]), x.dtype)
+    z = z.at[..., ::factor, :].set(x)
+    return _sep_conv_axis(z, k, axis=-2, stride=1)

@@ -74,10 +74,55 @@ class UNetConfig:
     #: activation memory; required to train the 356M reference-scale
     #: model at batch 8 on a 16 GB chip. Inference paths are unaffected.
     remat_blocks: bool = False
+    #: W-axis packing target (TPU layout optimization, exact semantics):
+    #: levels whose channel count is below this fold p = target//channels
+    #: adjacent W positions into the channel (lane) dim, with the conv
+    #: kernels expanded equivalently (layers.py MPConv._packed_conv). Keeps
+    #: the 128-lane MXU dim dense for low-channel levels — the DDEC's
+    #: 256x5504 grid at 32 ch ran at 4x lane padding waste and ~150 layout
+    #: copies per forward without it. 0 disables; 128 is the natural
+    #: target. Ignored for use_3d and attention levels.
+    w_pack_channels: int = 0
 
 
 def _conv_kernel(cfg: UNetConfig, k: Tuple[int, int], kz: int = 1) -> Tuple[int, ...]:
     return ((kz,) + k) if cfg.use_3d else k
+
+
+def _pack_w(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/p, p*C). Linear memory order is unchanged
+    (W-major then C), so this is a free reshape."""
+    if p == 1:
+        return x
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // p, p * c)
+
+
+def _unpack_w(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    if p == 1:
+        return x
+    b, h, wp, pc = x.shape
+    return x.reshape(b, h, wp * p, pc // p)
+
+
+def _mp_cat_packed(a: jnp.ndarray, b: jnp.ndarray, p: int,
+                   t: float) -> jnp.ndarray:
+    """mp_cat over TRUE channels of two W-packed tensors (channel order
+    (j, c)): concat per pack position j, preserving exact semantics."""
+    if p == 1:
+        return mp_cat(a, b, axis=-1, t=t)
+    a5 = a.reshape(a.shape[:-1] + (p, a.shape[-1] // p))
+    b5 = b.reshape(b.shape[:-1] + (p, b.shape[-1] // p))
+    out = mp_cat(a5, b5, axis=-1, t=t)
+    return out.reshape(a.shape[:-1] + (p * out.shape[-1],))
+
+
+def _packed_pixel_norm(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Pixel norm over each packed position's TRUE channel vector."""
+    if p == 1:
+        return normalize(x, axis=-1)
+    x5 = x.reshape(x.shape[:-1] + (p, x.shape[-1] // p))
+    return normalize(x5, axis=-1).reshape(x.shape)
 
 
 class UNetBlock(nn.Module):
@@ -90,20 +135,31 @@ class UNetBlock(nn.Module):
     flavor: Literal["enc", "dec"] = "enc"
     resample_mode: Literal["keep", "up", "down"] = "keep"
     use_attention: bool = False
+    #: W-packing factor for this block's level (see UNetConfig
+    #: .w_pack_channels). Contract: 'keep' blocks receive/return tensors
+    #: packed at w_pack; 'up'/'down' blocks receive UNPACKED input,
+    #: resample, then pack.
+    w_pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray],
                  training: bool = False) -> jnp.ndarray:
         cfg = self.cfg
+        wp = self.w_pack
+        assert wp == 1 or not (self.use_attention or cfg.use_3d
+                               or cfg.mlp_groups > 1), \
+            "W-packing requires 2D, attention-free, ungrouped blocks"
         resample = resample_3d if cfg.use_3d else resample_2d
         x = resample(x, mode=self.resample_mode)
+        if wp > 1 and self.resample_mode != "keep":
+            x = _pack_w(x, wp)
 
         if self.flavor == "enc":
             if self.in_channels != self.out_channels:
                 x = MPConv(self.in_channels, self.out_channels,
                            _conv_kernel(cfg, (1, 1), kz=2 if cfg.use_3d else 1),
-                           name="conv_skip")(x, training=training)
-            x = normalize(x, axis=-1)  # pixel norm
+                           name="conv_skip")(x, training=training, w_pack=wp)
+            x = _packed_pixel_norm(x, wp)  # pixel norm over true channels
 
         c_mid = self.out_channels * cfg.mlp_multiplier
         c_in_res0 = self.out_channels if self.flavor == "enc" else self.in_channels
@@ -114,7 +170,7 @@ class UNetBlock(nn.Module):
         grouped = cfg.mlp_groups > 1
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, name="conv_res0")(
-            mp_silu(x), training=training, grouped_out=grouped)
+            mp_silu(x), training=training, grouped_out=grouped, w_pack=wp)
 
         if self.emb_channels > 0 and emb is not None:
             emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
@@ -127,6 +183,8 @@ class UNetBlock(nn.Module):
                 c = cg.reshape(cg.shape[:2] + (1,) * (y.ndim - 3)
                                + cg.shape[-1:])
             else:
+                if wp > 1:  # per-channel gain tiles over pack positions
+                    c = jnp.tile(c, (1, wp))
                 c = c.reshape((c.shape[0],) + (1,) * (y.ndim - 2) + (c.shape[-1],))
             y = y * c.astype(y.dtype)
         y = mp_silu(y)
@@ -139,12 +197,12 @@ class UNetBlock(nn.Module):
 
         y = MPConv(c_mid, self.out_channels, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, name="conv_res1")(
-            y, training=training, grouped_in=grouped)
+            y, training=training, grouped_in=grouped, w_pack=wp)
 
         if self.flavor == "dec" and self.in_channels != self.out_channels:
             x = MPConv(self.in_channels, self.out_channels,
                        _conv_kernel(cfg, (1, 1), kz=2 if cfg.use_3d else 1),
-                       name="conv_skip")(x, training=training)
+                       name="conv_skip")(x, training=training, w_pack=wp)
         x = mp_sum(x, y, t=cfg.res_balance)
 
         if self.use_attention:
@@ -303,53 +361,80 @@ class UNetCore(nn.Module):
         Block = (nn.remat(UNetBlock, static_argnums=(3,))
                  if (training and cfg.remat_blocks) else UNetBlock)
         cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+
+        def pack_factor(level: int, channels: int, w: int) -> int:
+            """W-packing factor for one level (layout optimization only —
+            exact semantics; see UNetConfig.w_pack_channels)."""
+            if (cfg.w_pack_channels <= 0 or cfg.use_3d
+                    or cfg.mlp_groups > 1 or level in cfg.attn_levels
+                    or (level == len(cblock) - 1 and cfg.midblock_attn)):
+                return 1
+            p = max(cfg.w_pack_channels // channels, 1)
+            while p > 1 and w % p != 0:
+                p //= 2
+            return p
+
         cout = x.shape[-1]
         skips = []
+        packs = {}
         for level, channels in enumerate(cblock):
             if level == 0:
+                p = packs[0] = pack_factor(0, channels, x.shape[2])
                 cin, cout = cout, channels
                 x = MPConv(cin, cout, _conv_kernel(cfg, cfg.input_kernel),
-                           use_bias=True, name="enc_conv_in")(x, training=training)
+                           use_bias=True, name="enc_conv_in")(
+                    _pack_w(x, p), training=training, w_pack=p)
                 skips.append((x, cout))
             else:
+                x = _unpack_w(x, packs[level - 1])
+                p = packs[level] = pack_factor(level, channels,
+                                               x.shape[2] // 2)
                 x = Block(cfg, cout, cout, cemb, flavor="enc",
                           resample_mode="down",
                           use_attention=level in cfg.attn_levels,
+                          w_pack=p,
                           name=f"enc_b{level}_down")(x, emb, training)
                 skips.append((x, cout))
             for idx in range(cfg.num_layers_per_block):
                 cin, cout = cout, channels
                 x = Block(cfg, cin, cout, cemb, flavor="enc",
                           use_attention=level in cfg.attn_levels,
+                          w_pack=p,
                           name=f"enc_b{level}_l{idx}")(x, emb, training)
                 skips.append((x, cout))
 
         # ---- decoder -----------------------------------------------------------
         for level, channels in reversed(list(enumerate(cblock))):
+            p = packs[level]
             if level == len(cblock) - 1:
                 x = Block(cfg, cout, cout, cemb, flavor="dec",
-                          use_attention=cfg.midblock_attn,
+                          use_attention=cfg.midblock_attn, w_pack=p,
                           name=f"dec_b{level}_in0")(x, emb, training)
                 if cfg.double_midblock:
                     x = Block(cfg, cout, cout, cemb, flavor="dec",
-                              use_attention=cfg.midblock_attn,
+                              use_attention=cfg.midblock_attn, w_pack=p,
                               name=f"dec_b{level}_in1")(x, emb, training)
             else:
+                x = _unpack_w(x, packs[level + 1])
                 x = Block(cfg, cout, cout, cemb, flavor="dec",
                           resample_mode="up",
                           use_attention=level in cfg.attn_levels,
+                          w_pack=p,
                           name=f"dec_b{level}_up")(x, emb, training)
             for idx in range(cfg.num_layers_per_block + 1):
                 skip_x, skip_c = skips.pop()
-                x = mp_cat(x, skip_x, axis=-1, t=cfg.concat_balance)
+                x = _mp_cat_packed(x, skip_x, p, cfg.concat_balance)
                 cin, cout = cout + skip_c, channels
                 x = Block(cfg, cin, cout, cemb, flavor="dec",
                           use_attention=level in cfg.attn_levels,
+                          w_pack=p,
                           name=f"dec_b{level}_l{idx}")(x, emb, training)
 
         out_gain = self.param("out_gain", nn.initializers.zeros, ())
         x = MPConv(cout, cfg.out_channels, _conv_kernel(cfg, (3, 3)),
-                   name="conv_out")(x, gain=out_gain, training=training)
+                   name="conv_out")(x, gain=out_gain, training=training,
+                                    w_pack=packs[0])
+        x = _unpack_w(x, packs[0])
 
         return c_skip * x_in.astype(jnp.float32) + c_out * x.astype(jnp.float32)
 

@@ -119,6 +119,7 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                sigma_max: float, sigma_min: float, sigma_data: float,
                key: jax.Array,
                init_sample: Optional[jnp.ndarray] = None,
+               init_noise: Optional[jnp.ndarray] = None,
                return_debug: bool = True,
                use_cfg: bool = True,
                x_ref: Optional[jnp.ndarray] = None,
@@ -149,7 +150,10 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     b = sample_shape[0]
 
     key, nk = jax.random.split(key)
-    noise = _draw_noise(nk, sample_shape, params.stereo_fix)
+    # init_noise: caller-supplied x_T noise (determinism / cross-impl
+    # parity tests); default draws from the key
+    noise = (init_noise.astype(jnp.float32) if init_noise is not None
+             else _draw_noise(nk, sample_shape, params.stereo_fix))
     if params.init_noise_mode == "sigma_plus_data":
         init_scale = float(np.sqrt(sched[0] ** 2 + sigma_data ** 2))
     else:

@@ -172,7 +172,11 @@ class EMABank:
             if cfg.cpu_offload:
                 continue
             dtype = self._storage_dtype(cfg)
-            out[name] = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+            # jnp.array(copy=True): a same-dtype astype would ALIAS the
+            # params buffer, and aliased leaves break buffer donation of
+            # the train state ("attempt to donate the same buffer twice")
+            out[name] = jax.tree_util.tree_map(
+                lambda p: jnp.array(p, dtype=dtype, copy=True), params)
         return out
 
     def update(self, ema_state: Dict[str, Any], params,

@@ -254,3 +254,34 @@ def test_remat_blocks_same_loss_and_grads():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_w_packed_unet_matches_unpacked(key):
+    """UNetConfig.w_pack_channels is a pure layout optimization: identical
+    param tree, outputs equal to the unpacked model (layers.py
+    MPConv._packed_conv expanded-kernel equivalence)."""
+    import dataclasses
+    base = UNetConfig(in_channels=2, out_channels=2, in_channels_emb=0,
+                      in_num_freqs=32, in_psd_freqs=256,
+                      model_channels=16, channel_mult=(1, 2, 3),
+                      num_layers_per_block=2, mlp_multiplier=2,
+                      channels_per_head=16, logvar_channels=32)
+    packed_cfg = dataclasses.replace(base, w_pack_channels=64)
+    m0, m1 = UNet(base), UNet(packed_cfg)
+    x = jax.random.normal(key, (1, 32, 64, 2))
+    ref = jax.random.normal(jax.random.fold_in(key, 1), (1, 256, 64, 2))
+    sigma = jnp.full((1,), 3.0)
+    v0 = m0.init(key, x, sigma, None, ref, method=UNet.init_all)
+    # identical param tree: the packed model loads the unpacked params
+    v1 = m1.init(key, x, sigma, None, ref, method=UNet.init_all)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)):
+        assert a.shape == b.shape
+
+    y0 = m0.apply(v0, x, sigma, None, ref)
+    y1 = m1.apply(v0, x, sigma, None, ref)  # SAME params through packed path
+    err = float(jnp.abs(y0 - y1).max())
+    assert err < 2e-2, err  # bf16 internals: reassociation-level tolerance
+    # and a tighter relative check on overall energy
+    rel = float(jnp.abs(y0 - y1).mean() / (jnp.abs(y0).mean() + 1e-9))
+    assert rel < 2e-3, rel

@@ -285,3 +285,342 @@ def test_ms_mdct_dual_v1_parity(ref_modules, clip):
     wr = min(ref_raw.shape[-1], my_raw.shape[-1])
     mse_r = _rel_mse(my_raw[..., :wr], ref_raw[..., :wr])
     assert mse_r < 1e-3, f"v1 IMCLT audio rel MSE vs reference: {mse_r}"
+
+
+# ---------------------------------------------------------------------------
+# model-level parity: identical weights into the reference's torch UNet and
+# this repo's UNet (VERDICT r2 #6)
+# ---------------------------------------------------------------------------
+
+def _reduced_ddec_configs():
+    """One reduced DDEC-style config expressed in both frameworks
+    (reference defaults: unet_edm2_q4_ddec.py:43-69 at 1/2 scale)."""
+    from dualdiffusion_tpu.models.unet import UNetConfig
+    common = dict(in_channels=2, out_channels=2, in_channels_emb=0,
+                  in_num_freqs=32, in_psd_freqs=256,
+                  sigma_max=11.0, sigma_min=0.0002,
+                  model_channels=16, channel_mult=(1, 2),
+                  channel_mult_noise=4, channel_mult_emb=4,
+                  channels_per_head=16, num_layers_per_block=2,
+                  mlp_multiplier=2, logvar_channels=32)
+    jax_cfg = UNetConfig(double_midblock=True, **common)
+    return common, jax_cfg
+
+
+@pytest.fixture(scope="module")
+def ref_ddec_pair(ref_modules):
+    """(torch module, jax model, converted variables) with IDENTICAL
+    weights — the reference's own unet_edm2_q4_ddec.py executed on CPU."""
+    import jax
+    import jax.numpy as jnp
+    from modules.unets.unet_edm2_q4_ddec import UNet as RefUNet, UNet_Config
+    from dualdiffusion_tpu.models.convert import torch_unet_state_to_variables
+    from dualdiffusion_tpu.models.unet import UNet
+
+    common, jax_cfg = _reduced_ddec_configs()
+    tcfg = UNet_Config(**dict(common, channel_mult=list(common["channel_mult"]),
+                              double_midblock=True))
+    torch.manual_seed(0)
+    ref = RefUNet(tcfg)
+    # nonzero scalars so gains/modulation actually participate
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if p.ndim == 0:
+                p.copy_(torch.tensor(0.37))
+    ref = ref.eval().float()
+
+    model = UNet(jax_cfg)
+    key = jax.random.PRNGKey(0)
+    template = model.init(key, jnp.zeros((1, 32, 16, 2)), jnp.ones((1,)),
+                          None, jnp.zeros((1, 256, 16, 2)),
+                          method=UNet.init_all)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = torch_unet_state_to_variables(state, template)
+    return ref, model, variables
+
+
+def test_unet_ddec_forward_parity(ref_ddec_pair):
+    """UNet forward (EDM2 preconditioning + PSD-conditioned trunk) matches
+    the reference < 1e-3 rel MSE with identical weights (reference:
+    unet_edm2_q4_ddec.py:224-303)."""
+    import jax.numpy as jnp
+    ref, model, variables = ref_ddec_pair
+    rng = np.random.default_rng(3)
+    B, F, W = 2, 32, 64
+    x = rng.standard_normal((B, F, W, 2)).astype(np.float32)
+    xr = (rng.standard_normal((B, 256, W, 2)) ** 2).astype(np.float32)
+    sigma = np.asarray([0.5, 7.0], np.float32)
+
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(sigma), None, None,
+                    torch.from_numpy(xr.transpose(0, 3, 1, 2)))
+    y_ref = y_ref.numpy().transpose(0, 2, 3, 1)
+
+    y = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(sigma),
+                               None, jnp.asarray(xr)))
+    assert _rel_mse(y, y_ref) < 1e-3, _rel_mse(y, y_ref)
+
+    # the per-sigma loss logvar head too (logvar_linear(logvar_fourier))
+    from dualdiffusion_tpu.models.unet import UNet
+    lv = np.asarray(model.apply(variables, jnp.asarray(sigma),
+                                method=UNet.get_sigma_loss_logvar)).reshape(-1)
+    with torch.no_grad():
+        lv_ref = ref.get_sigma_loss_logvar(
+            torch.from_numpy(sigma)).numpy().reshape(-1)
+    np.testing.assert_allclose(lv, lv_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sampler_trajectory_parity(ref_ddec_pair):
+    """10-step Heun EDM sampling trajectory matches a faithful torch
+    transcription of the reference's sampler update rule
+    (dual_diffusion_pipeline.py:649-737: init noise * sqrt(sigma0^2+sd^2),
+    Heun midpoint at sigma_hat=max(sigma_next, sigma_min), final-step t=0,
+    input_perturbation=0 -> no per-step re-noising) running the reference's
+    own torch UNet, from the SAME x_T."""
+    import jax
+    import jax.numpy as jnp
+    ref, model, variables = ref_ddec_pair
+
+    B, F, W = 1, 32, 64
+    steps = 10
+    sigma_max, sigma_min, sigma_data = 11.0, 0.0002, 1.0
+    rng = np.random.default_rng(11)
+    xr = (rng.standard_normal((B, 256, W, 2)) ** 2).astype(np.float32)
+    noise = rng.standard_normal((B, F, W, 2)).astype(np.float32)
+
+    from dualdiffusion_tpu.sampling import SampleParams, edm_sample
+    sp = SampleParams(steps=steps, cfg_scale=1.0, use_heun=True,
+                      schedule="linear", input_perturbation=0.0,
+                      init_noise_mode="sigma_plus_data",
+                      renormalize_per_step=False)
+
+    def denoise(x, sigma, x_ref):
+        return model.apply(variables, x, sigma, None, x_ref)
+
+    out, _ = edm_sample(denoise, (B, F, W, 2), sp, sigma_max, sigma_min,
+                        sigma_data, jax.random.PRNGKey(0),
+                        init_noise=jnp.asarray(noise), use_cfg=False,
+                        x_ref=jnp.asarray(xr), return_debug=False)
+    out = np.asarray(out)
+
+    # --- torch transcription of the reference loop -----------------------
+    from dualdiffusion_tpu.sampling.schedule import get_schedule
+    sched = get_schedule("linear", steps, sigma_max=sigma_max,
+                         sigma_min=sigma_min, rho=sp.rho)
+    t_xr = torch.from_numpy(xr.transpose(0, 3, 1, 2))
+    sample = torch.from_numpy(noise.transpose(0, 3, 1, 2)) * \
+        float(np.sqrt(sched[0] ** 2 + sigma_data ** 2))
+    with torch.no_grad():
+        for i, (s_curr, s_next) in enumerate(zip(sched[:-1], sched[1:])):
+            s_curr, s_next = float(s_curr), float(s_next)
+            sig = torch.full((B,), s_curr)
+            m = ref(sample, sig, None, None, t_xr).float()
+            sigma_hat = max(s_next, sigma_min)
+            t_hat = sigma_hat / s_curr
+            x_hat = torch.lerp(m, sample, t_hat)
+            m_hat = ref(x_hat, torch.full((B,), t_hat * s_curr), None, None,
+                        t_xr).float()
+            m = torch.lerp(m, m_hat, 0.5)
+            t = s_next / s_curr if (i + 1) < steps else 0.0
+            sample = torch.lerp(m, sample, t)
+    # my sampler's final normalize-to-sigma_data (sampler.py:261; mp
+    # normalize: per-sample unit RMS with eps=1e-4 additive)
+    rms = sample.square().mean(dim=(1, 2, 3), keepdim=True).sqrt()
+    sample = sample / (1e-4 + rms)
+    ref_out = sample.numpy().transpose(0, 2, 3, 1)
+
+    # tolerance: single-eval parity sits at the bf16 noise floor
+    # (~1e-4 rel MSE, both frameworks use bf16 internals); 20 model evals
+    # compound it — the update RULE itself is checked exactly below
+    assert _rel_mse(out, ref_out) < 3e-3, _rel_mse(out, ref_out)
+
+
+def test_sampler_update_rule_exact():
+    """The EDM sampler update rule alone (no bf16 model noise): my
+    edm_sample vs the torch transcription of the reference loop
+    (dual_diffusion_pipeline.py:649-737) with the SAME deterministic fp32
+    denoiser must agree to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.sampling import SampleParams, edm_sample
+    from dualdiffusion_tpu.sampling.schedule import get_schedule
+
+    B, F, W = 1, 8, 16
+    steps = 10
+    sigma_max, sigma_min, sigma_data = 11.0, 0.0002, 1.0
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal((B, F, W, 2)).astype(np.float32)
+    target = rng.standard_normal((B, F, W, 2)).astype(np.float32) * 0.7
+
+    def denoise_np(x, sigma):
+        # analytic single-gaussian denoiser: D(x) = lerp toward target
+        s2 = sigma[..., None, None, None] ** 2
+        return (x * sigma_data ** 2 + target * s2) / (sigma_data ** 2 + s2)
+
+    # renormalize_per_step=False: the reference's diffusion_decode has the
+    # per-step renorm commented out (:728-729); its __call__ superset keeps
+    # it (:531) — pin the diffusion_decode semantics here
+    sp = SampleParams(steps=steps, cfg_scale=1.0, use_heun=True,
+                      schedule="linear", input_perturbation=0.0,
+                      init_noise_mode="sigma_plus_data",
+                      renormalize_per_step=False)
+    out, _ = edm_sample(lambda x, s: denoise_np(x, s), (B, F, W, 2), sp,
+                        sigma_max, sigma_min, sigma_data,
+                        jax.random.PRNGKey(0), init_noise=jnp.asarray(noise),
+                        use_cfg=False, return_debug=False)
+    out = np.asarray(out)
+
+    sched = get_schedule("linear", steps, sigma_max=sigma_max,
+                         sigma_min=sigma_min, rho=sp.rho)
+    t_t = torch.from_numpy(target)
+    sample = torch.from_numpy(noise) *         float(np.sqrt(sched[0] ** 2 + sigma_data ** 2))
+
+    def denoise_t(x, sigma):
+        s2 = sigma ** 2
+        return (x * sigma_data ** 2 + t_t * s2) / (sigma_data ** 2 + s2)
+
+    for i, (s_curr, s_next) in enumerate(zip(sched[:-1], sched[1:])):
+        s_curr, s_next = float(s_curr), float(s_next)
+        m = denoise_t(sample, torch.tensor(s_curr))
+        sigma_hat = max(s_next, sigma_min)
+        t_hat = sigma_hat / s_curr
+        x_hat = torch.lerp(m, sample, t_hat)
+        m_hat = denoise_t(x_hat, torch.tensor(t_hat * s_curr))
+        m = torch.lerp(m, m_hat, 0.5)
+        t = s_next / s_curr if (i + 1) < steps else 0.0
+        sample = torch.lerp(m, sample, t)
+    rms = sample.square().mean(dim=(1, 2, 3), keepdim=True).sqrt()
+    ref_out = (sample / (1e-4 + rms)).numpy()
+
+    assert _rel_mse(out, ref_out) < 1e-9, _rel_mse(out, ref_out)
+
+
+def test_filtered_resample_3d_parity(ref_modules):
+    """Kaiser-sinc 3D filtered resamplers + filtered MP-SiLU 3D match the
+    reference's torch implementations (resample.py:162-280) exactly."""
+    from utils.resample import (FilteredDownsample3D, FilteredUpsample3D,
+                                Filtered_MP_Silu_3D, FilteredDownsample1D3,
+                                FilteredUpsample1D3)
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.layers import (
+        filtered_downsample_3d, filtered_upsample_3d, filtered_mp_silu_3d,
+        filtered_downsample_1d3, filtered_upsample_1d3)
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 2, 16, 24, 3)).astype(np.float32)  # BZHWC
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))              # BCZHW
+
+    pairs = [
+        (lambda a: filtered_downsample_3d(a),
+         FilteredDownsample3D()),
+        (lambda a: filtered_upsample_3d(a),
+         FilteredUpsample3D()),
+        (lambda a: filtered_mp_silu_3d(a),
+         Filtered_MP_Silu_3D()),
+        (lambda a: filtered_downsample_1d3(a),
+         FilteredDownsample1D3()),
+        (lambda a: filtered_upsample_1d3(a),
+         FilteredUpsample1D3()),
+    ]
+    for jf, tm in pairs:
+        y = np.asarray(jf(jnp.asarray(x)))
+        with torch.no_grad():
+            yt = tm(xt).numpy().transpose(0, 2, 3, 4, 1)
+        assert y.shape == yt.shape, (type(tm).__name__, y.shape, yt.shape)
+        err = np.abs(y - yt).max()
+        assert err < 1e-5, (type(tm).__name__, err)
+
+
+def test_clap_chunking_parity():
+    """The dual-CLAP audio chunker (mono mix, 48 kHz resample, 10 s chunk
+    split with tail TRUNCATION) must match the reference's math
+    (clap.py:85-104) — checked with a mocked encoder-free path."""
+    from dualdiffusion_tpu.models.embeddings import CLAPEmbedding, CLAPConfig
+
+    emb = CLAPEmbedding(CLAPConfig())
+    sr = emb.config.sample_rate          # 48000
+    chunk = int(emb.config.audio_embedding_duration * sr)
+
+    rng = np.random.default_rng(23)
+    # stereo audio already at 48 kHz, 2.37 chunks long
+    audio = rng.standard_normal((2, int(chunk * 2.37))).astype(np.float32)
+    chunks = emb._chunk_audio(audio, sr)
+
+    # reference transcription (clap.py:85-86 mono mix, :100-104 truncation)
+    mono = torch.from_numpy(audio).mean(dim=0)
+    t_chunks = mono[:mono.shape[0] // chunk * chunk].reshape(-1, chunk)
+    assert chunks.shape == tuple(t_chunks.shape) == (2, chunk)
+    np.testing.assert_allclose(chunks, t_chunks.numpy(), atol=1e-6)
+
+    # too-short audio raises, as the reference does (clap.py:101-102)
+    with pytest.raises(ValueError):
+        emb._chunk_audio(audio[:, : chunk // 2], sr)
+
+
+def test_clap_window_interp_parity(ref_modules, tmp_path):
+    """The dataloader's CLAP embedding window average with spherical
+    endpoint interpolation matches a torch transcription of the
+    reference's (training/dataset.py:203-236), using the reference's own
+    mp_sum/normalize."""
+    from modules.mp_tools import mp_sum as t_mp_sum, normalize as t_norm
+    from dualdiffusion_tpu.dataset.dataloader import (DatasetConfig,
+                                                      DualDiffusionDataset)
+    from dualdiffusion_tpu.utils import save_safetensors
+    import json as _json
+
+    rng = np.random.default_rng(31)
+    emb_len, dim = 7, 24
+    embs = rng.standard_normal((emb_len, dim)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+    lat_w = 256
+    # latents whose row 0 encodes the column index -> recover the random
+    # crop offset from the loaded sample
+    lats = np.zeros((1, 2, 4, lat_w), np.float16)
+    lats[0, 0, 0, :] = np.arange(lat_w, dtype=np.float16)
+    p = tmp_path / "x0.safetensors"
+    save_safetensors({"latents": lats, "clap_audio_embeddings": embs}, p)
+    rec = {"file_name": "x0.wav", "sample_rate": 32000,
+           "sample_length": 999999, "post_norm_lufs": -20.0,
+           "latents_file_name": str(p), "latents_length": lat_w,
+           "latents_num_variations": 1,
+           "latents_has_audio_embeddings": True,
+           "latents_has_text_embeddings": False}
+    (tmp_path / "train.jsonl").write_text(_json.dumps(rec))
+
+    crop_w = 64
+    raw_crop = 1408768 // 4
+    cfg = DatasetConfig(data_dir=str(tmp_path),
+                        load_datatypes=("latents", "audio_embeddings"),
+                        latents_crop_width=crop_w, raw_crop_width=raw_crop)
+    ds = DualDiffusionDataset(cfg)
+    for trial in range(5):
+        out = ds.load_sample(rec)
+        t0 = int(out["latents"][0, 0, 0])          # recovered crop offset
+        got = out["audio_embeddings"]
+
+        # --- reference transcription (dataset.py:214-236) ----------------
+        dur = cfg.audio_embedding_duration
+        spl = raw_crop / 32000 / crop_w            # seconds per latent px
+        e0 = t0 * spl / dur
+        e1 = (t0 + crop_w) * spl / dur
+        start = float(np.clip(e0 - 0.5, 0, emb_len - 1))
+        end = float(np.clip(e1 - 0.5, start, emb_len - 1))
+        si, sf = int(start), start % 1.0
+        ei, ef = int(end), end % 1.0
+        te = torch.from_numpy(embs)
+        selected = te[si: ei + 1].clone()
+        if sf > 0 and si + 1 < emb_len:
+            selected[0] = t_norm(t_mp_sum(te[si], te[si + 1], sf))
+        if ef > 0 and ei + 1 < emb_len:
+            selected[-1] = t_norm(t_mp_sum(te[ei], te[ei + 1], ef))
+        want = t_norm(selected.sum(dim=0)).numpy()
+
+        # scale convention deviation (documented): this repo stores/returns
+        # unit-L2 embeddings, the reference unit-RMS (= L2 * sqrt(dim)).
+        # UNet.get_embeddings RMS-normalizes its input (unet.py:491, as the
+        # reference does), so only the DIRECTION is load-bearing.
+        got_d = got / np.linalg.norm(got)
+        want_d = want / np.linalg.norm(want)
+        np.testing.assert_allclose(got_d, want_d, atol=2e-4,
+                                   err_msg=f"trial {trial} t0={t0}")
