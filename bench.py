@@ -244,7 +244,13 @@ def run_config(name: str, args, ddec_stage=None):
 
     stages = {}
     _, t_samp = _timed_call(samp_c, key, uvars)
+    # XLA's cost model counts a lax.scan body ONCE — scale by the trip
+    # count (the Heun pair lives inside one body). flops scale exactly;
+    # bytes are per-fusion operand counts and over-estimate reuse, so the
+    # derived hbm_gbps is an upper bound on true traffic.
+    samp_cost = {k: v * args.steps for k, v in samp_cost.items()}
     stages["sampler"] = stage_stats(t_samp, peaks=peaks, **samp_cost)
+    stages["sampler"]["cost_model"] = f"xla_body_x{args.steps}_steps"
     _, t_dae = _timed_call(dae_c, lat0, dvars, n=3)
     stages["dae_decode"] = stage_stats(t_dae, peaks=peaks, **dae_cost)
     # FGLA is Pallas — XLA's cost model can't see into the kernels; use
@@ -290,7 +296,10 @@ def run_config(name: str, args, ddec_stage=None):
             log(f"[{name}] ddec stage compile: {dd_sec:.1f}s")
             raw_dd, t_dd = _timed_call(dd_c, mel0, key, ddec_stage["vars"])
             assert np.isfinite(raw_dd).all(), "non-finite ddec output"
+            dd_cost = {k: v * args.ddec_steps for k, v in dd_cost.items()}
             ddec_stage["stats"] = stage_stats(t_dd, peaks=peaks, **dd_cost)
+            ddec_stage["stats"]["cost_model"] = \
+                f"xla_body_x{args.ddec_steps}_steps"
             ddec_stage["first_call_seconds"] = time.time() - t0
             result["first_call_seconds"] += ddec_stage["first_call_seconds"]
         stages["ddec_decode"] = ddec_stage["stats"]

@@ -135,17 +135,16 @@ class UNetBlock(nn.Module):
     flavor: Literal["enc", "dec"] = "enc"
     resample_mode: Literal["keep", "up", "down"] = "keep"
     use_attention: bool = False
-    #: W-packing factor for this block's level (see UNetConfig
-    #: .w_pack_channels). Contract: 'keep' blocks receive/return tensors
-    #: packed at w_pack; 'up'/'down' blocks receive UNPACKED input,
-    #: resample, then pack.
-    w_pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray],
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False, w_pack: int = 1) -> jnp.ndarray:
+        """``w_pack``: W-packing factor for this block's level (see
+        UNetConfig.w_pack_channels; static python int). Contract: 'keep'
+        blocks receive/return tensors packed at w_pack; 'up'/'down' blocks
+        receive UNPACKED input, resample, then pack."""
         cfg = self.cfg
-        wp = self.w_pack
+        wp = w_pack
         assert wp == 1 or not (self.use_attention or cfg.use_3d
                                or cfg.mlp_groups > 1), \
             "W-packing requires 2D, attention-free, ungrouped blocks"
@@ -314,15 +313,154 @@ class UNetCore(nn.Module):
         cblock = [cfg.model_channels * m for m in cfg.channel_mult]
         return cfg.model_channels * cfg.channel_mult_noise if cfg.channel_mult_noise else max(cblock)
 
-    @nn.compact
-    def __call__(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
-                 embeddings: Optional[jnp.ndarray] = None,
-                 x_ref: Optional[jnp.ndarray] = None,
-                 training: bool = False) -> jnp.ndarray:
+    def _build_schedule(self):
+        """The linear op schedule executed by the forward pass: a list of
+        (attr_name, kind, level, cin, cout) where kind is one of
+        enc_in / enc_down / enc_layer / dec_mid / dec_up / dec_layer /
+        conv_out. Pipeline parallelism (parallel/pipeline.py) runs
+        contiguous sub-ranges of the same schedule on different devices."""
+        cfg = self.cfg
+        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+        cemb = self._cemb()
+        in_ch = cfg.in_channels
+        if cfg.in_psd_freqs > 0:
+            in_ch += (cfg.in_psd_freqs // cfg.in_num_freqs) * cfg.in_channels
+        ops = []
+        cout = in_ch
+        skip_ch = []
+        for level, channels in enumerate(cblock):
+            if level == 0:
+                ops.append(("enc_conv_in", "enc_in", 0, cout, channels))
+                cout = channels
+            else:
+                # the down block keeps the PREVIOUS level's width; the
+                # first layer block does the channel transition
+                ops.append((f"enc_b{level}_down", "enc_down", level,
+                            cout, cout))
+            skip_ch.append(cout)
+            for idx in range(cfg.num_layers_per_block):
+                ops.append((f"enc_b{level}_l{idx}", "enc_layer", level,
+                            cout, channels))
+                cout = channels
+                skip_ch.append(cout)
+        for level, channels in reversed(list(enumerate(cblock))):
+            if level == len(cblock) - 1:
+                ops.append((f"dec_b{level}_in0", "dec_mid", level, cout, cout))
+                if cfg.double_midblock:
+                    ops.append((f"dec_b{level}_in1", "dec_mid", level,
+                                cout, cout))
+            else:
+                ops.append((f"dec_b{level}_up", "dec_up", level, cout, cout))
+            for idx in range(cfg.num_layers_per_block + 1):
+                sc = skip_ch.pop()
+                ops.append((f"dec_b{level}_l{idx}", "dec_layer", level,
+                            cout + sc, channels))
+                cout = channels
+        ops.append(("conv_out", "conv_out", 0, cout, cfg.out_channels))
+        return ops, cemb
+
+    def setup(self):
+        cfg = self.cfg
+        ops, cemb = self._build_schedule()
+        self.schedule = ops
+        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
+        top = len(cblock) - 1
+        # rematerialization wraps the Block class itself; it only affects
+        # reverse-mode (training) — inference forwards are untouched
+        Block = (nn.remat(UNetBlock, static_argnums=(3, 4))
+                 if cfg.remat_blocks else UNetBlock)
+
+        self.emb_fourier = MPFourier(self._cnoise())
+        self.emb_noise = MPConv(self._cnoise(), cemb, ())
+        for name, kind, level, cin, cout in ops:
+            if kind == "enc_in":
+                mod = MPConv(cin, cout, _conv_kernel(cfg, cfg.input_kernel),
+                             use_bias=True)
+            elif kind == "conv_out":
+                mod = MPConv(cin, cout, _conv_kernel(cfg, (3, 3)))
+            else:
+                flavor = "enc" if kind.startswith("enc") else "dec"
+                resample = {"enc_down": "down", "dec_up": "up"}.get(kind, "keep")
+                attn = (cfg.midblock_attn if kind == "dec_mid"
+                        else level in cfg.attn_levels)
+                mod = Block(cfg, cin, cout, cemb, flavor=flavor,
+                            resample_mode=resample, use_attention=attn)
+            setattr(self, name, mod)
+        self.out_gain = self.param("out_gain", nn.initializers.zeros, ())
+
+    def _pack_factor(self, level: int, channels: int, w: int) -> int:
+        """W-packing factor for one level (layout optimization only —
+        exact semantics; see UNetConfig.w_pack_channels)."""
+        cfg = self.cfg
+        if (cfg.w_pack_channels <= 0 or cfg.use_3d
+                or cfg.mlp_groups > 1 or level in cfg.attn_levels
+                or (level == len(cfg.channel_mult) - 1 and cfg.midblock_attn)):
+            return 1
+        p = max(cfg.w_pack_channels // channels, 1)
+        while p > 1 and w % p != 0:
+            p //= 2
+        return p
+
+    def run_ops(self, x: jnp.ndarray, emb: jnp.ndarray, skips,
+                lo: int = 0, hi: Optional[int] = None,
+                training: bool = False):
+        """Execute schedule ops [lo, hi) — the whole trunk when defaults.
+
+        Contract at op boundaries: ``x`` is UNPACKED (B, [Z,] H, W, C) and
+        ``skips`` hold unpacked tensors (W-packing happens inside each op;
+        pack/unpack are free reshapes). Returns (x, skips). Used both by
+        __call__ (full range) and by pipeline-parallel stages
+        (parallel/pipeline.py runs contiguous ranges on different devices).
+        """
+        cfg = self.cfg
+        ops = self.schedule
+        hi = len(ops) if hi is None else hi
+        skips = list(skips)
+        w_axis = -2
+        for name, kind, level, cin, cout in ops[lo:hi]:
+            mod = getattr(self, name)
+            channels = cfg.model_channels * cfg.channel_mult[level] \
+                if kind != "conv_out" else cin
+            if kind == "enc_in":
+                p = self._pack_factor(0, cout, x.shape[w_axis])
+                x = _unpack_w(mod(_pack_w(x, p), training=training, w_pack=p),
+                              p)
+                skips.append(x)
+            elif kind == "enc_down":
+                p = self._pack_factor(level, channels, x.shape[w_axis] // 2)
+                x = _unpack_w(mod(x, emb, training, p), p)
+                skips.append(x)
+            elif kind == "enc_layer":
+                p = self._pack_factor(level, channels, x.shape[w_axis])
+                x = _unpack_w(mod(_pack_w(x, p), emb, training, p), p)
+                skips.append(x)
+            elif kind == "dec_mid":
+                p = self._pack_factor(level, channels, x.shape[w_axis])
+                x = _unpack_w(mod(_pack_w(x, p), emb, training, p), p)
+            elif kind == "dec_up":
+                p = self._pack_factor(level, channels, x.shape[w_axis] * 2)
+                x = _unpack_w(mod(x, emb, training, p), p)
+            elif kind == "dec_layer":
+                skip_x = skips.pop()
+                p = self._pack_factor(level, channels, x.shape[w_axis])
+                xc = _mp_cat_packed(_pack_w(x, p), _pack_w(skip_x, p), p,
+                                    cfg.concat_balance)
+                x = _unpack_w(mod(xc, emb, training, p), p)
+            else:  # conv_out
+                p = self._pack_factor(
+                    0, cfg.model_channels * cfg.channel_mult[0],
+                    x.shape[w_axis])
+                x = _unpack_w(mod(_pack_w(x, p), gain=self.out_gain,
+                                  training=training, w_pack=p), p)
+        return x, skips
+
+    def precondition(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
+                     embeddings: Optional[jnp.ndarray],
+                     x_ref: Optional[jnp.ndarray], training: bool = False):
+        """EDM2 preconditioning + x_ref fold + noise/label embedding.
+        Returns (x, emb, c_skip, c_out)."""
         cfg = self.cfg
         dtype = jnp.bfloat16
-
-        # ---- preconditioning (fp32) --------------------------------------
         sigma = sigma.reshape((-1,) + (1,) * (x_in.ndim - 1)).astype(jnp.float32)
         sd = cfg.sigma_data
         c_skip = sd ** 2 / (sigma ** 2 + sd ** 2)
@@ -348,94 +486,20 @@ class UNetCore(nn.Module):
             # convert_unet_to_inpainting zero-init extension)
             x = jnp.concatenate([x, x_ref.astype(dtype)], axis=-1)
 
-        # ---- embedding -----------------------------------------------------
-        cemb = self._cemb()
-        emb = MPFourier(self._cnoise(), name="emb_fourier")(c_noise)
-        emb = MPConv(self._cnoise(), cemb, (), name="emb_noise")(emb, training=training)
+        emb = self.emb_fourier(c_noise)
+        emb = self.emb_noise(emb, training=training)
         if cfg.in_channels_emb > 0 and embeddings is not None:
             emb = mp_silu(mp_sum(emb, embeddings.astype(emb.dtype), t=cfg.label_balance))
         emb = emb.astype(dtype)
+        return x, emb, c_skip, c_out
 
-        # ---- encoder ---------------------------------------------------------
-        # static_argnums counts self: __call__(self, x, emb, training)
-        Block = (nn.remat(UNetBlock, static_argnums=(3,))
-                 if (training and cfg.remat_blocks) else UNetBlock)
-        cblock = [cfg.model_channels * m for m in cfg.channel_mult]
-
-        def pack_factor(level: int, channels: int, w: int) -> int:
-            """W-packing factor for one level (layout optimization only —
-            exact semantics; see UNetConfig.w_pack_channels)."""
-            if (cfg.w_pack_channels <= 0 or cfg.use_3d
-                    or cfg.mlp_groups > 1 or level in cfg.attn_levels
-                    or (level == len(cblock) - 1 and cfg.midblock_attn)):
-                return 1
-            p = max(cfg.w_pack_channels // channels, 1)
-            while p > 1 and w % p != 0:
-                p //= 2
-            return p
-
-        cout = x.shape[-1]
-        skips = []
-        packs = {}
-        for level, channels in enumerate(cblock):
-            if level == 0:
-                p = packs[0] = pack_factor(0, channels, x.shape[2])
-                cin, cout = cout, channels
-                x = MPConv(cin, cout, _conv_kernel(cfg, cfg.input_kernel),
-                           use_bias=True, name="enc_conv_in")(
-                    _pack_w(x, p), training=training, w_pack=p)
-                skips.append((x, cout))
-            else:
-                x = _unpack_w(x, packs[level - 1])
-                p = packs[level] = pack_factor(level, channels,
-                                               x.shape[2] // 2)
-                x = Block(cfg, cout, cout, cemb, flavor="enc",
-                          resample_mode="down",
-                          use_attention=level in cfg.attn_levels,
-                          w_pack=p,
-                          name=f"enc_b{level}_down")(x, emb, training)
-                skips.append((x, cout))
-            for idx in range(cfg.num_layers_per_block):
-                cin, cout = cout, channels
-                x = Block(cfg, cin, cout, cemb, flavor="enc",
-                          use_attention=level in cfg.attn_levels,
-                          w_pack=p,
-                          name=f"enc_b{level}_l{idx}")(x, emb, training)
-                skips.append((x, cout))
-
-        # ---- decoder -----------------------------------------------------------
-        for level, channels in reversed(list(enumerate(cblock))):
-            p = packs[level]
-            if level == len(cblock) - 1:
-                x = Block(cfg, cout, cout, cemb, flavor="dec",
-                          use_attention=cfg.midblock_attn, w_pack=p,
-                          name=f"dec_b{level}_in0")(x, emb, training)
-                if cfg.double_midblock:
-                    x = Block(cfg, cout, cout, cemb, flavor="dec",
-                              use_attention=cfg.midblock_attn, w_pack=p,
-                              name=f"dec_b{level}_in1")(x, emb, training)
-            else:
-                x = _unpack_w(x, packs[level + 1])
-                x = Block(cfg, cout, cout, cemb, flavor="dec",
-                          resample_mode="up",
-                          use_attention=level in cfg.attn_levels,
-                          w_pack=p,
-                          name=f"dec_b{level}_up")(x, emb, training)
-            for idx in range(cfg.num_layers_per_block + 1):
-                skip_x, skip_c = skips.pop()
-                x = _mp_cat_packed(x, skip_x, p, cfg.concat_balance)
-                cin, cout = cout + skip_c, channels
-                x = Block(cfg, cin, cout, cemb, flavor="dec",
-                          use_attention=level in cfg.attn_levels,
-                          w_pack=p,
-                          name=f"dec_b{level}_l{idx}")(x, emb, training)
-
-        out_gain = self.param("out_gain", nn.initializers.zeros, ())
-        x = MPConv(cout, cfg.out_channels, _conv_kernel(cfg, (3, 3)),
-                   name="conv_out")(x, gain=out_gain, training=training,
-                                    w_pack=packs[0])
-        x = _unpack_w(x, packs[0])
-
+    def __call__(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
+                 embeddings: Optional[jnp.ndarray] = None,
+                 x_ref: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        x, emb, c_skip, c_out = self.precondition(x_in, sigma, embeddings,
+                                                  x_ref, training)
+        x, _ = self.run_ops(x, emb, [], training=training)
         return c_skip * x_in.astype(jnp.float32) + c_out * x.astype(jnp.float32)
 
 

@@ -90,9 +90,15 @@ def pipeline_apply(fn: Callable, stacked_params, x: jnp.ndarray,
 
     pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
     inner = partial(_gpipe_shmap, fn, axis)
-    out = shard_map(inner, mesh=mesh,
-                    in_specs=(pspec, P()), out_specs=P(),
-                    check_rep=False)(stacked_params, x_mb)
+    try:  # jax >= 0.9 renamed check_rep -> check_vma
+        smap = shard_map(inner, mesh=mesh,
+                         in_specs=(pspec, P()), out_specs=P(),
+                         check_vma=False)
+    except TypeError:
+        smap = shard_map(inner, mesh=mesh,
+                         in_specs=(pspec, P()), out_specs=P(),
+                         check_rep=False)
+    out = smap(stacked_params, x_mb)
     return out.reshape((b,) + x.shape[1:])
 
 
