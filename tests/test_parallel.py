@@ -213,3 +213,110 @@ def test_gpipe_pipeline_matches_sequential():
         want = block.apply(p, want, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def _unet_pp_setup(cfg, shape, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.unet import UNetCore
+
+    core = UNetCore(cfg)
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, shape, jnp.float32)
+    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 1),
+                                      (shape[0],)) + 1.0)
+    cemb = core._cemb()
+    emb = jax.random.normal(jax.random.fold_in(key, 2),
+                            (shape[0], cemb), jnp.float32)
+    variables = core.init(key, x, sigma, emb)
+    return core, variables, x, sigma, emb
+
+
+def test_unet_pipeline_real_model_matches_sequential():
+    """Pipelining the REAL UNetCore (attention, 3 levels, skip
+    connections crossing stage boundaries) over 4 devices is exact vs
+    the sequential forward (parallel/unet_pipeline.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from dualdiffusion_tpu.models.unet import UNetConfig
+    from dualdiffusion_tpu.parallel.unet_pipeline import pipelined_denoise
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=32,
+                     model_channels=16, channel_mult=(1, 2, 3),
+                     num_layers_per_block=1, attn_levels=(2,),
+                     attn_axis="freq", channels_per_head=16,
+                     logvar_channels=32)
+    core, variables, x, sigma, emb = _unet_pp_setup(cfg, (8, 16, 32, 4))
+    want = core.apply(variables, x, sigma, emb)
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    got = jax.jit(lambda v, xx, s, e: pipelined_denoise(
+        core, v, xx, s, e, mesh, num_microbatches=4))(variables, x, sigma, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unet_pipeline_wpack_double_midblock():
+    """All op kinds in one model: W-packed low-channel levels,
+    double midblock, uneven stage counts (K=8 over a 21-op schedule)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from dualdiffusion_tpu.models.unet import UNetConfig
+    from dualdiffusion_tpu.parallel.unet_pipeline import (
+        build_stage_plan, pipelined_denoise)
+
+    cfg = UNetConfig(in_channels=2, out_channels=2,
+                     model_channels=8, channel_mult=(1, 2, 3, 4),
+                     num_layers_per_block=1, double_midblock=True,
+                     channels_per_head=8, logvar_channels=16,
+                     w_pack_channels=32)
+    core, variables, x, sigma, emb = _unet_pp_setup(cfg, (8, 32, 64, 2))
+    want = core.apply(variables, x, sigma, emb)
+    devs = np.array(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("data", "model"))
+    got = jax.jit(lambda v, xx, s, e: pipelined_denoise(
+        core, v, xx, s, e, mesh, num_microbatches=2))(variables, x, sigma, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # plan sanity: stages cover the schedule, params fully partitioned
+    xb = jnp.zeros((4,) + x.shape[1:], jnp.bfloat16)
+    eb = jnp.zeros((4, emb.shape[1]), jnp.bfloat16)
+    plan = build_stage_plan(core, variables, xb, eb, 8)
+    ops, _ = core._build_schedule()
+    assert plan.boundaries[0] == 0 and plan.boundaries[-1] == len(ops)
+    assert all(b2 > b1 for b1, b2 in zip(plan.boundaries, plan.boundaries[1:]))
+
+
+def test_unet_pipeline_ref_scale_structure():
+    """The reference's 356M UNet structure (256 ch, mult 1-5, grouped
+    MLPs, attn levels 3-4) pipelined over the 8-device mesh == the
+    sequential forward (VERDICT r2 #9; reduced W keeps CPU time sane —
+    the parameter count and op schedule are the real model's)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from dualdiffusion_tpu.models.unet import UNetConfig
+    from dualdiffusion_tpu.parallel.unet_pipeline import pipelined_denoise
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=1024,
+                     model_channels=256, channel_mult=(1, 2, 3, 4, 5),
+                     channel_mult_noise=1, channel_mult_emb=3,
+                     channels_per_head=64, num_layers_per_block=2,
+                     attn_levels=(3, 4), attn_axis="freq",
+                     mlp_multiplier=2, mlp_groups=8, logvar_channels=128)
+    core, variables, x, sigma, emb = _unet_pp_setup(cfg, (2, 32, 64, 4))
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(variables))
+    assert n_params > 3e8, f"not ref scale: {n_params/1e6:.0f}M"
+    want = core.apply(variables, x, sigma, emb)
+    devs = np.array(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("data", "model"))
+    got = jax.jit(lambda v, xx, s, e: pipelined_denoise(
+        core, v, xx, s, e, mesh, num_microbatches=2))(variables, x, sigma, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
