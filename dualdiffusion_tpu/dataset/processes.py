@@ -394,7 +394,17 @@ class DedupeStage(DatasetProcessStage):
 class BuildSplitsStage(DatasetProcessStage):
     """Emit train/validation jsonl records
     (reference: processes/build_splits.py:42-191). Collects in-process;
-    write_jsonl() is called by the runner afterwards."""
+    write_jsonl() is called by the runner afterwards.
+
+    Per-file curation metadata (rating / system / game / song / prompt)
+    is read from the audio file's native tags when the file is FLAC
+    (utils/audio_metadata.py), falling back to the JSON sidecar — the
+    reference reads the same fields via mutagen
+    (build_splits.py:216-231). Ratings route records into extra splits
+    exactly as the reference does (build_splits.py:79-94): rating <= 1
+    -> only ``<split>_negative``; rating == 2 -> the base split;
+    rating >= 3 -> the base split plus ``<split>_positive``.
+    """
     stage_type = "io"
 
     def __init__(self, validation_fraction: float = 0.02, seed: int = 42) -> None:
@@ -407,13 +417,31 @@ class BuildSplitsStage(DatasetProcessStage):
         self.records = []
 
     def process(self, item: str):
+        from ..utils.audio_metadata import get_audio_metadata
         meta = read_sidecar(item)
+        try:
+            tags = {k.lower(): v[0] for k, v in
+                    get_audio_metadata(item).items() if v}
+        except Exception:
+            tags = {}
         try:
             audio, sr = load_audio(item, return_sample_rate=True)
             length = audio.shape[-1]
         except Exception:
             return None
+        rating: Optional[int] = None
+        raw_rating = tags.get("rating", meta.get("rating"))
+        if raw_rating is not None:
+            try:
+                rating = int(raw_rating)
+            except (TypeError, ValueError):
+                logger.warning("invalid rating %r in %s", raw_rating, item)
         rec = {"file_name": item, "sample_rate": sr, "sample_length": length,
+               "rating": rating,
+               "system": tags.get("system", meta.get("system")),
+               "game": tags.get("game", meta.get("game")),
+               "song": tags.get("song", meta.get("song")),
+               "prompt": tags.get("prompt", meta.get("prompt")),
                "post_norm_lufs": meta.get("post_norm_lufs"),
                "latents_file_name": meta.get("latents_file_name"),
                "latents_length": meta.get("latents_length"),
@@ -423,16 +451,32 @@ class BuildSplitsStage(DatasetProcessStage):
         return rec
 
     @staticmethod
+    def route_splits(base_split: str, rating: Optional[int]) -> List[str]:
+        """Rating -> split names (reference: build_splits.py:79-94)."""
+        if rating is None or rating == 2:
+            return [base_split]
+        if rating <= 1:
+            return [f"{base_split}_negative"]
+        return [base_split, f"{base_split}_positive"]
+
+    @staticmethod
     def write_jsonl(records: List[Dict[str, Any]], dataset_path: str,
                     validation_fraction: float = 0.02, seed: int = 42) -> None:
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(records))
         n_val = int(len(records) * validation_fraction)
         val_idx = set(order[:n_val].tolist())
-        with open(Path(dataset_path) / "train.jsonl", "w") as ftr, \
-                open(Path(dataset_path) / "validation.jsonl", "w") as fva:
-            for i, rec in enumerate(records):
-                (fva if i in val_idx else ftr).write(json.dumps(rec) + "\n")
+        splits: Dict[str, List[Dict[str, Any]]] = {"train": [],
+                                                   "validation": []}
+        for i, rec in enumerate(records):
+            base = "validation" if i in val_idx else "train"
+            for split in BuildSplitsStage.route_splits(base,
+                                                       rec.get("rating")):
+                splits.setdefault(split, []).append(rec)
+        for split, recs in splits.items():
+            with open(Path(dataset_path) / f"{split}.jsonl", "w") as fh:
+                for rec in recs:
+                    fh.write(json.dumps(rec) + "\n")
 
 
 class BuildEmbDBStage(DatasetProcessStage):
