@@ -125,11 +125,15 @@ async function refreshOutputs(){
   outs.forEach(o=>{ d.innerHTML += `<div class="out">seed ${o.seed}
     <audio id="au_${o.id}" controls src="/api/output/${o.id}/audio.wav"
       style="width:100%"></audio>
-    <div class="specwrap" style="position:relative">
+    <div class="specscroll" id="sc_${o.id}" style="overflow-x:auto">
+    <div class="specwrap" id="wr_${o.id}" style="position:relative;width:100%">
       <img class="spec" id="sp_${o.id}" src="/api/output/${o.id}/spec.png"
-        onclick="seekSpec(event,${o.id})">
+        draggable="false" style="display:block;width:100%">
+      <div id="sel_${o.id}" style="position:absolute;top:0;bottom:0;
+        background:rgba(140,220,255,.25);border:1px solid #8fd;
+        display:none;pointer-events:none"></div>
       <div id="ph_${o.id}" style="position:absolute;top:0;bottom:0;left:0;
-        width:2px;background:#8fd;pointer-events:none"></div></div>
+        width:2px;background:#8fd;pointer-events:none"></div></div></div>
     <div>inpaint <input id="in_start_${o.id}" type="number" value="0"
       style="width:4.5em"> - <input id="in_end_${o.id}" type="number"
       value="10" style="width:4.5em"> s
@@ -139,22 +143,80 @@ async function refreshOutputs(){
       <button onclick="extendOutput(${o.id})">extend</button>
       img2img <input id="i2i_${o.id}" type="number" value="0.5" step="0.05"
         style="width:4.5em">
-      <button onclick="img2imgOutput(${o.id})">remix</button></div></div>`; });
+      <button onclick="img2imgOutput(${o.id})">remix</button>
+      rating <span id="rt_${o.id}">${stars(o.id, o.rating)}</span>
+      <button onclick="saveOutput(${o.id})">save</button></div></div>`; });
   outs.forEach(o=>{ const a=document.getElementById('au_'+o.id);
     a.ontimeupdate = ()=>{ const img=document.getElementById('sp_'+o.id);
       const ph=document.getElementById('ph_'+o.id);
       if (a.duration) ph.style.left=(a.currentTime/a.duration*img.clientWidth)+'px'; };
+    setupEditor(o.id);
   });
 }
-// spectrogram audio player: click on the spectrogram to seek
-// (reference: nicegui_audio_editor.js / nicegui_custom_audio.js)
-function seekSpec(ev, id){
-  const a=document.getElementById('au_'+id);
+function stars(id, r){
+  let h='';
+  for (let i=1;i<=5;i++)
+    h += `<span style="cursor:pointer;color:${(r||0)>=i?'#fd5':'#556'}`
+      + `" onclick="rateOutput(${id},${i})">★</span>`;
+  return h;
+}
+async function rateOutput(id, r){
+  await fetch('/api/output/'+id+'/rate',{method:'POST',
+    body:JSON.stringify({rating:r})});
+  refreshOutputs();
+}
+async function saveOutput(id){
+  const r = await (await fetch('/api/output/'+id+'/save',
+    {method:'POST',body:'{}'})).json();
+  alert(r.path ? 'saved '+r.path : (r.error||'save failed'));
+}
+// waveform editor: drag on the spectrogram selects the inpaint region
+// (filling the numeric start/end boxes), click (no drag) seeks+plays,
+// double-click clears the selection, mouse wheel zooms the view around
+// the cursor (reference: nicegui_audio_editor.js region select/zoom/drag
+// + nicegui_custom_audio.js seek-on-click)
+function setupEditor(id){
+  const wrap=document.getElementById('wr_'+id);
+  const scroll=document.getElementById('sc_'+id);
   const img=document.getElementById('sp_'+id);
-  if (a.duration){
-    a.currentTime = (ev.offsetX/img.clientWidth)*a.duration;
-    a.play();
-  }
+  const sel=document.getElementById('sel_'+id);
+  const a=document.getElementById('au_'+id);
+  let drag=null, zoom=1;
+  const frac=ev=>{
+    const r=img.getBoundingClientRect();
+    return Math.min(Math.max((ev.clientX-r.left)/r.width,0),1);
+  };
+  wrap.onmousedown=ev=>{ drag={x0:frac(ev), moved:false}; ev.preventDefault(); };
+  wrap.onmousemove=ev=>{
+    if(!drag) return;
+    const x1=frac(ev);
+    if (Math.abs(x1-drag.x0)*img.clientWidth>3) drag.moved=true;
+    if (drag.moved){
+      const lo=Math.min(drag.x0,x1), hi=Math.max(drag.x0,x1);
+      sel.style.display='block';
+      sel.style.left=(lo*100)+'%'; sel.style.width=((hi-lo)*100)+'%';
+      if (a.duration){
+        document.getElementById('in_start_'+id).value=(lo*a.duration).toFixed(2);
+        document.getElementById('in_end_'+id).value=(hi*a.duration).toFixed(2);
+      }
+    }
+  };
+  wrap.onmouseup=ev=>{
+    if (drag && !drag.moved && a.duration){
+      a.currentTime=frac(ev)*a.duration; a.play();
+    }
+    drag=null;
+  };
+  wrap.onmouseleave=()=>{ drag=null; };
+  wrap.ondblclick=()=>{ sel.style.display='none'; };
+  wrap.onwheel=ev=>{
+    ev.preventDefault();
+    const f=frac(ev);
+    zoom=Math.min(Math.max(zoom*(ev.deltaY<0?1.25:0.8),1),16);
+    wrap.style.width=(zoom*100)+'%';
+    scroll.scrollLeft=f*img.clientWidth - ev.clientX
+      + scroll.getBoundingClientRect().left;
+  };
 }
 async function refreshInventory(){
   const r = await (await fetch('/api/inventory')).json();
@@ -272,7 +334,8 @@ def _make_handler(ui: UIState):
                 else:
                     self._json(dict(inv))
             elif self.path == "/api/outputs":
-                self._json([{"id": i, "seed": o["seed"]}
+                self._json([{"id": i, "seed": o["seed"],
+                             "rating": o.get("rating")}
                             for i, o in enumerate(ui.outputs)])
             elif self.path.startswith("/api/output/"):
                 parts = self.path.strip("/").split("/")
@@ -360,6 +423,31 @@ def _make_handler(ui: UIState):
                 (ui.presets_path / f"{name}.json").write_text(body)
                 ui.log(f"saved preset '{name}'")
                 self._json({"ok": True})
+            elif self.path.startswith("/api/output/"):
+                # rating + save-to-disk workflow (the reference app rates
+                # outputs and writes the rating into the audio file's
+                # tags, nicegui_elements.py rating controls +
+                # dual_diffusion_utils.update_audio_metadata)
+                parts = self.path.strip("/").split("/")
+                try:
+                    o = ui.outputs[int(parts[2])]
+                except (IndexError, ValueError):
+                    self._json({"error": "bad index"}, 404)
+                    return
+                if parts[3] == "rate":
+                    o["rating"] = int(json.loads(body).get("rating", 0))
+                    if o.get("saved_path"):
+                        _tag_saved_output(o)
+                    self._json({"ok": True, "rating": o["rating"]})
+                elif parts[3] == "save":
+                    try:
+                        path = _save_output(ui, o)
+                        ui.log(f"saved {path}")
+                        self._json({"ok": True, "path": str(path)})
+                    except OSError as e:
+                        self._json({"error": str(e)}, 500)
+                else:
+                    self._json({"error": "not found"}, 404)
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -428,6 +516,29 @@ def _wait_generate(ui: UIState) -> None:
         ui.outputs.insert(0, out)
         ui.log(f"generated output (seed {out['seed']})")
     ui.busy = False
+
+
+def _save_output(ui: UIState, o: Dict[str, Any]) -> Path:
+    """Write an output to <model>/output/ and tag it with its rating +
+    generation metadata (reference: nicegui_app.py save flow into the
+    model's output dir with mutagen tags)."""
+    from ..utils import save_audio
+    out_dir = ui.presets_path.parent / "output"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"output_{time.strftime('%Y%m%d_%H%M%S')}_{o['seed']}.wav"
+    save_audio(np.asarray(o["raw"][0]), o["sample_rate"], path)
+    o["saved_path"] = str(path)
+    _tag_saved_output(o)
+    return path
+
+
+def _tag_saved_output(o: Dict[str, Any]) -> None:
+    from ..utils import update_audio_metadata
+    meta = {"seed": o["seed"]}
+    if o.get("prompt"):
+        meta["prompt"] = json.dumps(o["prompt"])
+    update_audio_metadata(o["saved_path"], metadata=meta,
+                          rating=o.get("rating"))
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:

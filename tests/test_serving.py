@@ -5,6 +5,7 @@ the NiceGUI app's generate/abort/editor flows)."""
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 from pathlib import Path
@@ -170,3 +171,36 @@ def test_editor_outpaint_odd_width(tmp_path):
             assert freed.sum() == w // 2
             assert np.all(out_lat[:, :, freed] == 0.0)
             assert np.all(out_lat[:, :, ~freed] != 0.0) or w == 0
+
+
+def test_serving_rate_and_save_output(serving):
+    """Rating + save-to-disk workflow: the saved wav gets the rating in
+    its (sidecar) tags and re-rating updates them (reference:
+    nicegui_app save flow + update_audio_metadata)."""
+    base, state, ui = serving
+    if not ui.outputs:
+        _generate(base, {"steps": 2, "use_heun": False, "cfg_scale": 1.0,
+                         "length": 4096, "num_fgla_iters": 2})
+    r = _http(f"{base}/api/output/0/rate", {"rating": 4})
+    assert r["ok"] and r["rating"] == 4
+    outs = _http(f"{base}/api/outputs")
+    assert outs[0]["rating"] == 4
+
+    r = _http(f"{base}/api/output/0/save", {})
+    assert r.get("ok"), r
+    from dualdiffusion_tpu.utils import get_audio_metadata
+    tags = get_audio_metadata(r["path"])
+    assert tags["RATING"] == ["4"]
+    assert Path(r["path"]).is_file()
+
+    # re-rating an already-saved output re-tags the file on disk
+    _http(f"{base}/api/output/0/rate", {"rating": 1})
+    assert get_audio_metadata(r["path"])["RATING"] == ["1"]
+
+    r404 = urllib.request.Request(f"{base}/api/output/99/rate",
+                                  data=b"{}", method="POST")
+    try:
+        urllib.request.urlopen(r404, timeout=10)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
