@@ -237,14 +237,18 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                     length: Optional[int] = None,
                     work_dtype: str = "bfloat16",
                     use_pallas: Optional[bool] = None,
-                    fuse_transforms: Optional[bool] = None) -> jnp.ndarray:
+                    fuse_transforms: Optional[bool] = None,
+                    fuse_iteration: Optional[bool] = None) -> jnp.ndarray:
     """Drop-in equivalent of ops.fgla.griffinlim (flat phase init) using the
     digit-order polyphase iteration. specgram: (B, C, frames, bins).
 
-    ``fuse_transforms`` (default: follow use_pallas when supported) runs
-    the k1-major fully-fused iteration: the sublane CT stages + twiddles
-    live inside the Pallas middle kernel (ops/pallas/fgla_middle.py) and
-    XLA only executes lane-dim matmuls and elementwise steps.
+    ``fuse_iteration`` (default: on-TPU when the geometry allows) runs
+    the whole Griffin-Lim iteration as ONE pallas_call with an r-state
+    carry and a pipelined, halo-free OLA (ops/pallas/fgla_iter.py).
+    ``fuse_transforms`` (the older two-kernel path, kept as fallback)
+    puts the sublane CT stages + twiddles inside the Pallas middle kernel
+    (ops/pallas/fgla_middle.py) and the lane matmuls + spectral step in a
+    second kernel.
     """
     if not 0 <= momentum < 1:
         raise ValueError(f"momentum must be in [0, 1), got {momentum}")
@@ -295,6 +299,19 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    from .pallas.fgla_iter import fgla_iter_supported
+    iter_ok = hop_rows == 2 and n1 % 2 == 0 and fgla_iter_supported(f, n1)
+    if fuse_iteration is None:
+        fuse_iteration = (use_pallas and fuse_transforms is not False
+                          and iter_ok)
+    elif fuse_iteration and not iter_ok:
+        raise ValueError(
+            f"fuse_iteration requires hop == 256, even n1 and a supported "
+            f"frame count (got hop_rows={hop_rows}, n1={n1}, F={f})")
+    if fuse_iteration:
+        return _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env,
+                                mom, n_fft, n1, n1p, n2, n_iter,
+                                stereo_coherence, wd, bins, length, win)
     if fuse_transforms is None:
         from .pallas.fgla_middle import fgla_middle_supported
         fuse_transforms = use_pallas and fgla_middle_supported(f, n1)
@@ -345,6 +362,88 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                              n_fft)[..., :bins]
     return _istft(jax.lax.complex(ang_r * spec, ang_i * spec), win, n_fft,
                   hop_length, length=length)
+
+
+def _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft,
+                     n1, n1p, n2, n_iter, stereo_coherence, wd, bins,
+                     length, win):
+    """One-pallas-call-per-iteration loop (ops/pallas/fgla_iter.py):
+    HBM state is just (r_k, r_{k-1}); the kernel re-derives the phase
+    input from the momentum-normalized previous spectra. Two loop
+    segments: while the annealing factor t_k <= 0 the kernel variant
+    that never fetches spec_w runs (interp == merged exactly)."""
+    from .pallas.fgla_iter import _OVER, fgla_iter
+
+    b, c, f = spec_w.shape[:3]
+    # k1-major grids: (B, C, n1p, F, n2)
+    spec_k = jnp.swapaxes(spec_w, 2, 3)
+    merged_k = jnp.swapaxes(merged_w, 2, 3)
+    spec_k, merged_k = jax.lax.optimization_barrier((spec_k, merged_k))
+
+    _, _, (f1r, f1i), (f2r, f2i), (twr, twi) = _digit_bases(n_fft, n2, n1p)
+    lane_inv = (f2r / n2, -f2i / n2)         # conj(f2)/n2
+    lane_fwd = (f2r, f2i)
+    ctw = (twr, -twi)
+    ftw = (twr, twi)
+    g_stack = np.hstack([(f1r / n1).T, (f1i / n1).T])    # (n1p, 2*n1p)
+    f_stack = np.vstack([f1r.T, f1i.T])                  # (2*n1p, n1p)
+
+    # parity-bank envelope rows, padded for the kernel's emission windows
+    env = np.asarray(inv_env, np.float32)
+    need = f + _OVER
+    env_e = env[0::2]
+    env_o = env[1::2]
+    env_e = jnp.asarray(np.pad(env_e, ((0, need - env_e.shape[0]), (0, 0))))
+    env_o = jnp.asarray(np.pad(env_o, ((0, need - env_o.shape[0]), (0, 0))))
+
+    mom = float(mom)
+    mom_w = jnp.asarray(mom, wd)
+    sc = float(stereo_coherence)
+
+    def call(k, carry, use_spec):
+        (rk_r, rk_i), (rp_r, rp_i) = carry
+        t = k.astype(jnp.float32) / n_iter - sc
+        rr, ri = fgla_iter(t, rk_r, rk_i, rp_r, rp_i, spec_k, merged_k,
+                           win_gp, env_e, env_o, ctw, ftw, g_stack,
+                           f_stack, lane_inv, lane_fwd, mom=mom,
+                           n1_true=n1, use_spec=use_spec)
+        return ((rr, ri), (rk_r, rk_i))
+
+    shape = (b, c, n1p, f, n2)
+    zeros = jnp.zeros(shape, wd)
+    # iteration 0 unrolled: seeding r_0 = merged reproduces the
+    # flat-phase init (normalize(merged - 0) is 1 on live bins, dead
+    # bins contribute 0 either way) -- but the seed must NOT leak into
+    # iteration 1's momentum term (the legacy loop has prev = 0 there),
+    # so prev is reset to zero right after
+    carry = call(jnp.asarray(0), ((merged_k, zeros), (zeros, zeros)),
+                 use_spec=sc < 0)                 # t_0 = -sc
+
+    carry = (carry[0], (zeros, zeros))
+    k_cross = min(n_iter, max(1, int(np.floor(sc * n_iter + 1e-9)) + 1))
+    if k_cross > 1:
+        carry = jax.lax.fori_loop(
+            1, k_cross, lambda k, s: call(k, s, use_spec=False), carry)
+    if k_cross < n_iter:
+        carry = jax.lax.fori_loop(
+            k_cross, n_iter, lambda k, s: call(k, s, use_spec=True), carry)
+    (rn_r, rn_i), (rp_r, rp_i) = carry
+
+    nr = rn_r - mom_w * rp_r
+    ni = rn_i - mom_w * rp_i
+    mag = jnp.sqrt(nr * nr + ni * ni) + jnp.asarray(1e-12, wd)
+    ang_r = nr / mag
+    ang_i = ni / mag
+
+    def to_natural(x):
+        x = x.astype(jnp.float32)[..., :n1, :, :]        # (b,c,n1,f,n2)
+        x = jnp.transpose(x, (0, 1, 3, 4, 2))            # (b,c,f,n2,n1)
+        return x.reshape(b, c, f, n1 * n2)[..., :bins]
+
+    ang_r = to_natural(ang_r)
+    ang_i = to_natural(ang_i)
+    return _istft(jax.lax.complex(ang_r * spec, ang_i * spec), win, n_fft,
+                  hop_length=n2 * 2, length=length)
 
 
 def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft, n1,

@@ -175,6 +175,110 @@ def test_fgla_middle_fused_matches_composition(rng):
                                atol=3e-5)
 
 
+def test_fgla_iter_kernel_matches_middle_composition(rng):
+    """One fgla_iter pallas_call == jnp lane stages sandwiching the
+    verified fgla_middle kernel (the x-derivation, lane matmuls and
+    spectral step all live inside the fused kernel)."""
+    from dualdiffusion_tpu.ops.fgla_fast import _digit_bases
+    from dualdiffusion_tpu.ops.pallas.fgla_iter import _OVER, fgla_iter
+    from dualdiffusion_tpu.ops.pallas.fgla_middle import fgla_middle
+
+    n_fft, n2, n1, n1p, f = 1280, 128, 10, 16, 40
+    b, c = 1, 2
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, c, n1p, f, n2)).astype(np.float32)
+    ).at[..., n1:, :, :].set(0.0)
+    rk_r, rk_i, rp_r, rp_i = mk(), mk(), mk(), mk()
+    sp = jnp.abs(mk())
+    mg = jnp.abs(mk())
+    win_gp = np.zeros((n1p, n2), np.float32)
+    win_gp[:n1] = rng.random((n1, n2)).astype(np.float32) + 0.1
+    r_tot = (f - 1) * 2 + n1
+    inv_env = jnp.asarray(rng.random((r_tot, n2)).astype(np.float32) + 0.5)
+
+    _, _, (f1r, f1i), (f2r, f2i), (twr, twi) = _digit_bases(n_fft, n2, n1p)
+    g_stack = np.hstack([(f1r / n1).T, (f1i / n1).T])
+    f_stack = np.vstack([f1r.T, f1i.T])
+    envn = np.asarray(inv_env, np.float32)
+    need = f + _OVER
+    env_e = jnp.asarray(np.pad(envn[0::2],
+                               ((0, need - envn[0::2].shape[0]), (0, 0))))
+    env_o = jnp.asarray(np.pad(envn[1::2],
+                               ((0, need - envn[1::2].shape[0]), (0, 0))))
+    mom, t = 0.4975, 0.3
+    rr, ri = fgla_iter(jnp.asarray(t, jnp.float32), rk_r, rk_i, rp_r, rp_i,
+                       sp, mg, win_gp, env_e, env_o, (twr, -twi), (twr, twi),
+                       g_stack, f_stack, (f2r / n2, -f2i / n2), (f2r, f2i),
+                       mom=mom, n1_true=n1, use_spec=True, interpret=True)
+
+    # reference: x-derivation + jnp lane stages around fgla_middle
+    nr = rk_r - mom * rp_r
+    ni = rk_i - mom * rp_i
+    inv = jax.lax.rsqrt(nr * nr + ni * ni + 1e-20)
+    interp = mg + (sp - mg) * max(t, 0.0)
+    xr = nr * inv * interp
+    xi = ni * inv * interp
+    gr, gi = jnp.asarray(f2r / n2), jnp.asarray(-f2i / n2)
+    ur = jnp.einsum("...kj,jw->...kw", xr, gr) - jnp.einsum(
+        "...kj,jw->...kw", xi, gi)
+    ui = jnp.einsum("...kj,jw->...kw", xr, gi) + jnp.einsum(
+        "...kj,jw->...kw", xi, gr)
+    mid_r, mid_i = fgla_middle(ur, ui, win_gp, inv_env, (twr, -twi),
+                               (twr, twi), g_stack, f_stack, n1_true=n1,
+                               interpret=True)
+    mr, mi = jnp.asarray(f2r), jnp.asarray(f2i)
+    want_r = (jnp.einsum("...kw,wj->...kj", mid_r, mr)
+              - jnp.einsum("...kw,wj->...kj", mid_i, mi))
+    want_i = (jnp.einsum("...kw,wj->...kj", mid_r, mi)
+              + jnp.einsum("...kw,wj->...kj", mid_i, mr))
+    scale = float(jnp.abs(want_r).max())
+    np.testing.assert_allclose(np.asarray(rr), np.asarray(want_r),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(ri), np.asarray(want_i),
+                               atol=1e-4 * scale)
+
+
+def test_griffinlim_fused_iteration_matches_and_converges():
+    """fuse_iteration=True: single-iteration parity with the jnp loop and
+    equal-or-better spectral convergence at 40 iterations."""
+    n_fft, hop, frames = 1280, 256, 41
+    mag, win = _tone_mag(n_fft, hop, frames)
+    mag = mag[:, :, :40]                  # fgla_iter needs a supported F
+
+    a1 = np.asarray(griffinlim_fast(mag, win, n_fft, hop, n_iter=1,
+                                    momentum=0.99, work_dtype="float32",
+                                    use_pallas=False, fuse_transforms=False,
+                                    fuse_iteration=False))
+    b1 = np.asarray(griffinlim_fast(mag, win, n_fft, hop, n_iter=1,
+                                    momentum=0.99, work_dtype="float32",
+                                    fuse_iteration=True))
+    assert np.abs(a1 - b1).max() / np.abs(a1).max() < 0.02
+
+    def conv_err(out):
+        m2 = jnp.abs(stft(out, win, n_fft, hop, backend="fft"))
+        f2 = min(m2.shape[2], mag.shape[2])
+        return float(jnp.linalg.norm(m2[:, :, :f2] - mag[:, :, :f2])
+                     / jnp.linalg.norm(mag))
+
+    a = griffinlim_fast(mag, win, n_fft, hop, n_iter=40, momentum=0.99,
+                        work_dtype="float32", use_pallas=False,
+                        fuse_transforms=False, fuse_iteration=False)
+    b = griffinlim_fast(mag, win, n_fft, hop, n_iter=40, momentum=0.99,
+                        work_dtype="float32", fuse_iteration=True)
+    ea, eb = conv_err(a), conv_err(b)
+    assert eb < max(1.5 * ea, 0.2), (ea, eb)
+
+
+def test_griffinlim_fused_iteration_unsupported_raises():
+    """Forcing fuse_iteration on an unsupported frame count fails fast
+    with a clear error instead of an assert deep inside the kernel."""
+    n_fft, hop, frames = 1280, 256, 41
+    mag, win = _tone_mag(n_fft, hop, frames)   # F=41 has no valid block
+    with pytest.raises(ValueError, match="fuse_iteration"):
+        griffinlim_fast(mag, win, n_fft, hop, n_iter=1,
+                        work_dtype="float32", fuse_iteration=True)
+
+
 def test_griffinlim_fused_converges():
     n_fft, hop, frames = 1280, 256, 40
     mag, win = _tone_mag(n_fft, hop, frames + 1)
