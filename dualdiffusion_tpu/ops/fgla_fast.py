@@ -238,7 +238,8 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
                     work_dtype: str = "bfloat16",
                     use_pallas: Optional[bool] = None,
                     fuse_transforms: Optional[bool] = None,
-                    fuse_iteration: Optional[bool] = None) -> jnp.ndarray:
+                    fuse_iteration: Optional[bool] = None,
+                    phase_init: str = "flat") -> jnp.ndarray:
     """Drop-in equivalent of ops.fgla.griffinlim (flat phase init) using the
     digit-order polyphase iteration. specgram: (B, C, frames, bins).
 
@@ -283,6 +284,28 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
     spec_g, merged_g = jax.lax.optimization_barrier(
         (to_digit_mag(spec), to_digit_mag(merged)))
 
+    # optional SPSI phase seeding (ops/fgla.spsi_phase) on the digit grid;
+    # None means flat unit phases
+    ang0 = None
+    if phase_init == "spsi":
+        from .fgla import spsi_phase
+        phi = spsi_phase(spec, n_fft, hop_length)
+
+        def to_digit(x):
+            fr, fi = hermitian_extend(jnp.cos(phi) * x, jnp.sin(phi) * x,
+                                      n_fft)
+            out = []
+            for g in (natural_to_digit(fr, n_fft),
+                      natural_to_digit(fi, n_fft)):
+                out.append(jnp.pad(g, [(0, 0)] * (g.ndim - 2)
+                                   + [(0, n1p - n1), (0, 0)]))
+            return tuple(out)
+
+        ang0 = to_digit(jnp.ones_like(phi))
+    elif phase_init != "flat":
+        raise ValueError(f"phase_init must be 'flat' or 'spsi', got "
+                         f"{phase_init!r}")
+
     # squared-window OLA envelope over signal rows (host-side constant)
     r_tot = (f - 1) * hop_rows + n1
     env = _overlap_add_np(np.broadcast_to(win ** 2, (f, n_fft)), hop_length)
@@ -311,14 +334,16 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
     if fuse_iteration:
         return _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env,
                                 mom, n_fft, n1, n1p, n2, n_iter,
-                                stereo_coherence, wd, bins, length, win)
+                                stereo_coherence, wd, bins, length, win,
+                                ang0=ang0)
     if fuse_transforms is None:
         from .pallas.fgla_middle import fgla_middle_supported
         fuse_transforms = use_pallas and fgla_middle_supported(f, n1)
     if fuse_transforms:
         return _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom,
                            n_fft, n1, n1p, n2, hop_length, n_iter,
-                           stereo_coherence, wd, bins, length, win)
+                           stereo_coherence, wd, bins, length, win,
+                           ang0=ang0)
     if use_pallas:
         from .pallas.ola_reframe import ola_reframe
 
@@ -350,8 +375,12 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
         return (nr / mag, ni / mag, rr, ri)
 
     shape = (b, c, f, n1p, n2)
-    ang0 = jnp.zeros(shape, wd).at[..., :n1, :].set(1.0)
-    init = (ang0, jnp.zeros(shape, wd),
+    if ang0 is None:
+        a0_r = jnp.zeros(shape, wd).at[..., :n1, :].set(1.0)
+        a0_i = jnp.zeros(shape, wd)
+    else:
+        a0_r, a0_i = (a.astype(wd) for a in ang0)
+    init = (a0_r, a0_i,
             jnp.zeros(shape, wd), jnp.zeros(shape, wd))
     ang_r, ang_i, _, _ = jax.lax.fori_loop(0, n_iter, body, init)
 
@@ -366,7 +395,7 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
 
 def _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft,
                      n1, n1p, n2, n_iter, stereo_coherence, wd, bins,
-                     length, win):
+                     length, win, ang0=None):
     """One-pallas-call-per-iteration loop (ops/pallas/fgla_iter.py):
     HBM state is just (r_k, r_{k-1}); the kernel re-derives the phase
     input from the momentum-normalized previous spectra. Two loop
@@ -411,12 +440,18 @@ def _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft,
 
     shape = (b, c, n1p, f, n2)
     zeros = jnp.zeros(shape, wd)
-    # iteration 0 unrolled: seeding r_0 = merged reproduces the
-    # flat-phase init (normalize(merged - 0) is 1 on live bins, dead
-    # bins contribute 0 either way) -- but the seed must NOT leak into
-    # iteration 1's momentum term (the legacy loop has prev = 0 there),
-    # so prev is reset to zero right after
-    carry = call(jnp.asarray(0), ((merged_k, zeros), (zeros, zeros)),
+    # iteration 0 unrolled: seeding r_0 = merged * ang0 reproduces the
+    # requested phase init (normalize(merged*ang0 - 0) is ang0 on live
+    # bins, dead bins contribute 0 either way) -- but the seed must NOT
+    # leak into iteration 1's momentum term (the legacy loop has prev = 0
+    # there), so prev is reset to zero right after
+    if ang0 is None:
+        seed = (merged_k, zeros)
+    else:
+        a0r = jnp.swapaxes(ang0[0].astype(wd), 2, 3)
+        a0i = jnp.swapaxes(ang0[1].astype(wd), 2, 3)
+        seed = (merged_k * a0r, merged_k * a0i)
+    carry = call(jnp.asarray(0), (seed, (zeros, zeros)),
                  use_spec=sc < 0)                 # t_0 = -sc
 
     carry = (carry[0], (zeros, zeros))
@@ -448,7 +483,7 @@ def _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft,
 
 def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft, n1,
                 n1p, n2, hop_length, n_iter, stereo_coherence, wd, bins,
-                length, win):
+                length, win, ang0=None):
     """k1-major fused iteration: lane-stage matmuls + elementwise in XLA,
     everything touching the sublane grid axis inside fgla_middle."""
     from .pallas.fgla_middle import fgla_middle
@@ -482,10 +517,14 @@ def _loop_fused(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft, n1,
     mom = float(mom)
     mom_w = jnp.asarray(mom, wd)
 
-    # x_0 = ang0 * interp(t_0) = merged (t_0 < 0, flat unit phases)
+    # x_0 = ang0 * interp(t_0) = ang0 * merged (t_0 < 0)
     shape = (b, c, n1p, f, n2)
-    z1_0 = mm(jnp.concatenate([merged_k, jnp.zeros(shape, wd)], axis=-1),
-              w_inv)
+    if ang0 is None:
+        x0 = (merged_k, jnp.zeros(shape, wd))
+    else:
+        x0 = (merged_k * jnp.swapaxes(ang0[0].astype(wd), 2, 3),
+              merged_k * jnp.swapaxes(ang0[1].astype(wd), 2, 3))
+    z1_0 = mm(jnp.concatenate(x0, axis=-1), w_inv)
 
     def body(i, carry):
         z1r, z1i, prev_r, prev_i = carry

@@ -297,3 +297,80 @@ def test_griffinlim_fused_converges():
                         work_dtype="float32", fuse_transforms=True)
     ea, eb = conv_err(a), conv_err(b)
     assert eb < max(1.5 * ea, 0.2), (ea, eb)
+
+
+def _rich_mag(n_fft, hop, frames, exponent=8.0):
+    """Tones + chirp + AM: enough spectral structure that phase-init
+    quality measurably changes convergence (pure tones converge almost
+    instantly from any init)."""
+    win = np.asarray(get_window("hann_power", n_fft, exponent=exponent))
+    rng = np.random.default_rng(7)
+    t = np.arange((frames + 1) * hop) / 32000
+    sig = sum(0.2 * np.sin(2 * np.pi * f * t) for f in (220.0, 473.0, 881.0))
+    sig = sig + 0.1 * np.sin(2 * np.pi * (200 + 40 * t) * t)
+    sig = sig + 0.02 * rng.standard_normal(sig.shape)
+    sig = np.stack([sig, 0.8 * sig]).astype(np.float32)[None]
+    mag = jnp.abs(stft(jnp.asarray(sig), win, n_fft, hop, backend="fft"))
+    return mag[:, :, :frames], win
+
+
+def test_spsi_phase_init_converges_faster():
+    """phase_init='spsi' (integrated instantaneous-frequency seed,
+    ops/fgla.spsi_phase) beats the reference's flat init at equal
+    iteration count — the basis for SpectrogramFormatConfig.fgla_phase_init.
+
+    Measured at the production geometry (n_fft=6400, hann^32, hop 256):
+    conv_err 0.063 vs 0.094 at 30 iters, 0.044 vs 0.054 at 60. This test
+    runs a cheaper geometry with the same ordering (the advantage flips
+    only for narrow windows on a small FFT, e.g. 1280-pt hann^32 — which
+    is why the option defaults to "flat" and is chosen per config)."""
+    n_fft, hop, frames = 1280, 256, 80
+    mag, win = _rich_mag(n_fft, hop, frames)
+
+    def conv_err(out):
+        m2 = jnp.abs(stft(out, win, n_fft, hop, backend="fft"))
+        f2 = min(m2.shape[2], mag.shape[2])
+        return float(jnp.linalg.norm(m2[:, :, :f2] - mag[:, :, :f2])
+                     / jnp.linalg.norm(mag))
+
+    kw = dict(n_iter=30, momentum=0.99, work_dtype="float32",
+              use_pallas=False, fuse_transforms=False, fuse_iteration=False)
+    e_flat = conv_err(griffinlim_fast(mag, win, n_fft, hop,
+                                      phase_init="flat", **kw))
+    e_spsi = conv_err(griffinlim_fast(mag, win, n_fft, hop,
+                                      phase_init="spsi", **kw))
+    assert e_spsi < 0.95 * e_flat, (e_flat, e_spsi)
+
+
+def test_spsi_init_single_iteration_matches_legacy():
+    """The digit-grid SPSI seed equals the legacy loop's natural-order
+    seed: one projection step stays within live-bin tolerance."""
+    n_fft, hop, frames = 1280, 256, 41
+    mag, win = _tone_mag(n_fft, hop, frames)
+    a = np.asarray(griffinlim(mag, win, n_fft, hop, n_iter=1, momentum=0.99,
+                              work_dtype="float32", backend="fft",
+                              phase_init="spsi"))
+    b = np.asarray(griffinlim_fast(mag, win, n_fft, hop, n_iter=1,
+                                   momentum=0.99, work_dtype="float32",
+                                   use_pallas=False, phase_init="spsi"))
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.02
+
+
+def test_spsi_fused_paths_match_plain():
+    """Both Pallas loop variants reproduce the SPSI seeding of the plain
+    jnp loop (k1-major swapaxes + r-state carry seed)."""
+    n_fft, hop, frames = 1280, 256, 40
+    mag, win = _tone_mag(n_fft, hop, frames + 1)
+    mag = mag[:, :, :frames]
+    kw = dict(n_iter=1, momentum=0.99, work_dtype="float32",
+              phase_init="spsi")
+    a = np.asarray(griffinlim_fast(mag, win, n_fft, hop, use_pallas=False,
+                                   fuse_transforms=False,
+                                   fuse_iteration=False, **kw))
+    b = np.asarray(griffinlim_fast(mag, win, n_fft, hop,
+                                   fuse_iteration=True, **kw))
+    c = np.asarray(griffinlim_fast(mag, win, n_fft, hop,
+                                   fuse_transforms=True,
+                                   fuse_iteration=False, **kw))
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.02
+    assert np.abs(a - c).max() / np.abs(a).max() < 0.02

@@ -154,7 +154,7 @@ def test_multihost_two_process_simulation(tmp_path):
 
     single = subprocess.run(
         [sys.executable, str(script), "single"], cwd=repo, env=env,
-        capture_output=True, text=True, timeout=280)
+        capture_output=True, text=True, timeout=540)
     assert single.returncode == 0, single.stderr[-2000:]
     loss_single = loss_of(single.stdout)
 
@@ -169,10 +169,10 @@ def test_multihost_two_process_simulation(tmp_path):
         w0 = subprocess.run(
             [sys.executable, str(script), "worker", "--pid", "0",
              "--port", str(port)], cwd=repo, env=env,
-            capture_output=True, text=True, timeout=280)
+            capture_output=True, text=True, timeout=540)
         assert w0.returncode == 0, w0.stdout[-2000:] + w0.stderr[-2000:]
         loss_multi = loss_of(w0.stdout)
-        assert w1.wait(timeout=60) == 0
+        assert w1.wait(timeout=120) == 0
     finally:
         if w1.poll() is None:
             w1.kill()
