@@ -83,7 +83,8 @@ def build_configs(name: str, args):
                               mlp_multiplier=2, mlp_groups=8,
                               logvar_channels=128)
         fmt_cfg = SpectrogramFormatConfig(num_fgla_iters=args.fgla,
-                                          fgla_work_dtype="bfloat16")
+                                          fgla_work_dtype="bfloat16",
+                                          fgla_phase_init=args.fgla_init)
     else:  # flagship: 45 s @ 32 kHz stereo, 256 mel x 8 ms hop (SURVEY §6)
         mel_h, mel_w, ds = 256, 5504, 8
         dae_cfg = DAEConfig(model_channels=64, channel_mult_enc=(1, 2, 4, 8),
@@ -96,7 +97,8 @@ def build_configs(name: str, args):
                               num_layers_per_block=2, attn_levels=(2, 3),
                               attn_axis="freq", logvar_channels=128)
         fmt_cfg = SpectrogramFormatConfig(num_fgla_iters=args.fgla,
-                                          fgla_work_dtype="bfloat16")
+                                          fgla_work_dtype="bfloat16",
+                                          fgla_phase_init=args.fgla_init)
     return mel_h, mel_w, ds, dae_cfg, unet_cfg, fmt_cfg
 
 
@@ -337,6 +339,9 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--ddec_steps", type=int, default=20)
     ap.add_argument("--fgla", type=int, default=200)
+    ap.add_argument("--fgla-init", default="flat", choices=["flat", "spsi"],
+                    help="FGLA phase init; spsi reaches flat's 200-iter "
+                         "convergence in ~150 (pair with --fgla 150)")
     args = ap.parse_args()
     if args.ddec and (args.small or args.no_ddec):
         ap.error("--ddec needs the production 256-bin mel grid "
