@@ -624,3 +624,44 @@ def test_clap_window_interp_parity(ref_modules, tmp_path):
         want_d = want / np.linalg.norm(want)
         np.testing.assert_allclose(got_d, want_d, atol=2e-4,
                                    err_msg=f"trial {trial} t0={t0}")
+
+
+def test_posthoc_ema_reconstruction_parity(tmp_path):
+    """Post-hoc EMA (NVIDIA alg. 3): both the solved coefficients and the
+    full archive->weights reconstruction must match the reference's torch
+    implementation (/root/reference/src/training/ema.py:120-191) on the
+    same synthetic archive directory."""
+    _install_stubs()
+    from training.ema import (reconstruct_phema as ref_reconstruct,
+                              solve_posthoc_coefficients as ref_solve)
+    import safetensors.torch as st
+
+    from dualdiffusion_tpu.training.ema import (reconstruct_phema,
+                                                solve_posthoc_coefficients)
+
+    in_ofs = np.array([1e4, 2e4, 2e4, 3e4])
+    in_std = np.array([0.05, 0.05, 0.1, 0.1])
+    for out_std in (0.08, 0.15, 0.2):
+        a = solve_posthoc_coefficients(in_ofs, in_std, np.array([3e4]),
+                                       np.array([out_std]))
+        b = ref_solve(in_ofs, in_std, np.array([3e4]), np.array([out_std]))
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+    # full reconstruction over a synthetic archive dir
+    rng = np.random.default_rng(3)
+    for i, (std, n) in enumerate(zip(in_std, in_ofs)):
+        sd = {"w": torch.from_numpy(rng.standard_normal((8, 16))
+                                    .astype(np.float32)),
+              "b": torch.from_numpy(rng.standard_normal(4)
+                                    .astype(np.float32))}
+        st.save_file(sd, str(tmp_path / f"ema_{i}.safetensors"),
+                     metadata={"std": str(std),
+                               "total_samples_processed": str(int(n)),
+                               "global_step": str(int(n) // 10)})
+
+    ref_out = ref_reconstruct(0.15, str(tmp_path), quiet=True)
+    my_out = reconstruct_phema(0.15, str(tmp_path))
+    assert set(ref_out) == set(my_out)
+    for k in ref_out:
+        np.testing.assert_allclose(my_out[k], ref_out[k].numpy(),
+                                   rtol=1e-5, atol=1e-6)
