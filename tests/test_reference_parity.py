@@ -665,3 +665,54 @@ def test_posthoc_ema_reconstruction_parity(tmp_path):
     for k in ref_out:
         np.testing.assert_allclose(my_out[k], ref_out[k].numpy(),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sigma_sampler_quantile_parity():
+    """Every sigma distribution, fed IDENTICAL quantiles, must produce the
+    reference's sigmas exactly (the stochastic stratification layer is
+    orthogonal — it only generates the quantiles). Reference:
+    /root/reference/src/training/sigma_sampler.py:111-212."""
+    import jax.numpy as jnp
+    _install_stubs()
+    from training.sigma_sampler import (SigmaSampler as RefSampler,
+                                        SigmaSamplerConfig as RefConfig)
+
+    from dualdiffusion_tpu.training import (SigmaSampler,
+                                            SigmaSamplerConfig)
+
+    q = np.linspace(0.001, 0.999, 257).astype(np.float64)
+    qt = torch.from_numpy(q)
+
+    cases = [
+        dict(distribution="ln_normal", dist_offset=-0.4, dist_scale=1.0),
+        dict(distribution="ln_sech", dist_offset=0.3, dist_scale=1.0),
+        dict(distribution="ln_sech", dist_offset=-0.2, dist_scale=1.3),
+        dict(distribution="ln_sech^2", dist_offset=0.1, dist_scale=0.8),
+        dict(distribution="ln_linear"),
+        dict(distribution="linear", dist_scale=2.0),
+        dict(distribution="scale_invariant", dist_scale=1.0),
+    ]
+    for kw in cases:
+        ref = RefSampler(RefConfig(sigma_max=200.0, sigma_min=0.03, **kw))
+        ref_s = ref.sample_fn(quantiles=qt).numpy()
+        mine = SigmaSampler(SigmaSamplerConfig(sigma_max=200.0,
+                                               sigma_min=0.03, **kw))
+        fn = {"ln_normal": mine._ln_normal, "ln_sech": mine._ln_sech,
+              "ln_sech^2": mine._ln_sech2, "ln_linear": mine._ln_linear,
+              "linear": mine._linear,
+              "scale_invariant": mine._scale_invariant}[kw["distribution"]]
+        my_s = np.asarray(fn(jnp.asarray(q, jnp.float32)))
+        np.testing.assert_allclose(my_s, ref_s, rtol=2e-4,
+                                   err_msg=str(kw))
+
+    # ln_pdf: same (sanitization-off) pdf, same quantiles -> same sigmas
+    rng = np.random.default_rng(5)
+    pdf = (rng.random(127) + 0.1).astype(np.float32)
+    ref = RefSampler(RefConfig(distribution="ln_pdf",
+                               dist_pdf=torch.from_numpy(pdf.copy()),
+                               sigma_pdf_sanitization=False))
+    ref_s = ref.sample_fn(quantiles=qt).numpy()
+    mine = SigmaSampler(SigmaSamplerConfig(distribution="ln_pdf"))
+    my_s = np.asarray(mine._ln_pdf(jnp.asarray(q, jnp.float32),
+                                   jnp.asarray(pdf)))
+    np.testing.assert_allclose(my_s, ref_s, rtol=2e-4)
