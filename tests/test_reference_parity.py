@@ -716,3 +716,113 @@ def test_sigma_sampler_quantile_parity():
     my_s = np.asarray(mine._ln_pdf(jnp.asarray(q, jnp.float32),
                                    jnp.asarray(pdf)))
     np.testing.assert_allclose(my_s, ref_s, rtol=2e-4)
+
+
+def test_mp_primitives_parity():
+    """Primitives NOT exercised by the UNet-forward golden (wavelets,
+    lowpass, patchify, 1d/3d resamples, midside, space_to_channel,
+    interleaved mp_cat, MPFourier) compared elementwise against the
+    reference's torch mp_tools (layouts mapped NCHW <-> channel-last).
+    Reference: /root/reference/src/modules/mp_tools.py:42-330."""
+    import jax.numpy as jnp
+    _install_stubs()
+    import modules.mp_tools as ref
+
+    from dualdiffusion_tpu.models import mp
+    from dualdiffusion_tpu.models.layers import MPFourier
+
+    rng = np.random.default_rng(11)
+
+    def t_of(a):
+        return torch.from_numpy(np.ascontiguousarray(a))
+
+    def close(mine, theirs, tol=1e-5, msg=""):
+        np.testing.assert_allclose(np.asarray(mine, np.float32),
+                                   theirs.numpy(), rtol=tol, atol=tol,
+                                   err_msg=msg)
+
+    x = rng.standard_normal((2, 3, 8, 12)).astype(np.float32)  # NCHW
+    x_cl = np.transpose(x, (0, 2, 3, 1))                       # NHWC
+
+    # normalize / normalize_groups (groups along channels)
+    close(mp.normalize(jnp.asarray(x)), ref.normalize(t_of(x)), msg="normalize")
+    xg = rng.standard_normal((2, 6, 8, 12)).astype(np.float32)
+    mine_g = mp.normalize_groups(jnp.asarray(np.transpose(xg, (0, 2, 3, 1))), 3)
+    close(np.transpose(np.asarray(mine_g), (0, 3, 1, 2)),
+          ref.normalize_groups(t_of(xg), 3), msg="normalize_groups")
+
+    # resample 1d/2d/3d
+    x1 = rng.standard_normal((2, 3, 16)).astype(np.float32)    # (B,C,T)
+    for mode in ("down", "up"):
+        close(np.swapaxes(np.asarray(
+            mp.resample_1d(jnp.asarray(np.swapaxes(x1, 1, 2)), mode)), 1, 2),
+            ref.resample_1d(t_of(x1), mode), msg=f"resample_1d {mode}")
+        close(np.transpose(np.asarray(
+            mp.resample_2d(jnp.asarray(x_cl), mode)), (0, 3, 1, 2)),
+            ref.resample_2d(t_of(x), mode), msg=f"resample_2d {mode}")
+    x3 = rng.standard_normal((2, 3, 2, 8, 12)).astype(np.float32)  # B,C,Z,H,W
+    x3_cl = np.transpose(x3, (0, 2, 3, 4, 1))                      # B,Z,H,W,C
+    for mode in ("down", "up"):
+        close(np.transpose(np.asarray(
+            mp.resample_3d(jnp.asarray(x3_cl), mode)), (0, 4, 1, 2, 3)),
+            ref.resample_3d(t_of(x3), mode), msg=f"resample_3d {mode}")
+
+    # patchify / space_to_channel (+ inverses; channel order (c, ph, pw))
+    pats = mp.patchify_2d(jnp.asarray(x_cl), 4, 3)
+    close(np.transpose(np.asarray(pats), (0, 3, 1, 2)),
+          ref.patchify_2d(t_of(x), 4, 3), msg="patchify_2d")
+    close(np.transpose(np.asarray(mp.unpatchify_2d(pats, 4, 3)), (0, 3, 1, 2)),
+          ref.unpatchify_2d(ref.patchify_2d(t_of(x), 4, 3), 4, 3),
+          msg="unpatchify_2d")
+    close(np.transpose(np.asarray(
+        mp.space_to_channel_2d(jnp.asarray(x_cl))), (0, 3, 1, 2)),
+        ref.space_to_channel_2d(t_of(x)), msg="space_to_channel_2d")
+    # NOTE: the reference's space_to_channel_3d is broken upstream (7-dim
+    # view permuted with 6 dims, mp_tools.py:192 raises for ANY input —
+    # dead code there); only the inverse direction can be goldened. This
+    # repo's space_to_channel_3d is instead verified as the exact inverse
+    # of channel_to_space_3d (round-trip test in tests/test_mp.py).
+    x3p = rng.standard_normal((2, 12, 2, 4, 6)).astype(np.float32)
+    x3p_cl = np.transpose(x3p, (0, 2, 3, 4, 1))
+    close(np.transpose(np.asarray(
+        mp.channel_to_space_3d(jnp.asarray(x3p_cl))), (0, 4, 1, 2, 3)),
+        ref.channel_to_space_3d(t_of(x3p)), msg="channel_to_space_3d")
+
+    # midside (axis-generic in this repo; reference is NCHW dim 1)
+    x2 = rng.standard_normal((2, 2, 8, 12)).astype(np.float32)
+    close(mp.midside_transform(jnp.asarray(x2), channel_axis=1),
+          ref.midside_transform(t_of(x2)), msg="midside")
+
+    # wavelets
+    mine_w = mp.wavelet_decompose_2d(jnp.asarray(x_cl), num_levels=3)
+    ref_w = ref.wavelet_decompose_2d(t_of(x), num_levels=3)
+    for i, (a, b) in enumerate(zip(mine_w, ref_w)):
+        close(np.transpose(np.asarray(a), (0, 3, 1, 2)), b,
+              msg=f"wavelet level {i}")
+    close(np.transpose(np.asarray(
+        mp.wavelet_recompose_2d(mine_w)), (0, 3, 1, 2)),
+        ref.wavelet_recompose_2d(ref_w), msg="wavelet_recompose")
+
+    # lowpass (circular + square masks)
+    for circ in (True, False):
+        close(np.transpose(np.asarray(mp.lowpass_2d(
+            jnp.asarray(x_cl), blur_width=4.0, use_circular_filter=circ)),
+            (0, 3, 1, 2)),
+            ref.lowpass_2d(t_of(x), blur_width=4.0, use_circular_filter=circ),
+            tol=1e-4, msg=f"lowpass circ={circ}")
+
+    # mp_cat interleave (channel axis)
+    a = rng.standard_normal((2, 4, 8, 12)).astype(np.float32)
+    b = rng.standard_normal((2, 4, 8, 12)).astype(np.float32)
+    mine_i = mp.mp_cat_interleave(
+        jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(b, (0, 2, 3, 1))), axis=-1, t=0.3)
+    close(np.transpose(np.asarray(mine_i), (0, 3, 1, 2)),
+          ref.mp_cat_interleave(t_of(a), t_of(b), t=0.3),
+          msg="mp_cat_interleave")
+
+    # MPFourier: deterministic erfinv-spaced freqs -> exact feature match
+    s = rng.standard_normal(6).astype(np.float32)
+    mod = MPFourier(num_channels=32)
+    mine_f = mod.apply({}, jnp.asarray(s))
+    close(mine_f, ref.MPFourier(32)(t_of(s)), tol=1e-4, msg="MPFourier")
