@@ -860,3 +860,55 @@ def test_mss2d_loss_parity():
         my_loss = np.asarray(mine(jnp.asarray(s), jnp.asarray(t)))
         np.testing.assert_allclose(my_loss, ref_loss.numpy(), rtol=2e-4,
                                    err_msg=str(kw))
+
+
+def test_sampling_schedule_parity():
+    """Every named sigma schedule equals the reference's for the same
+    (steps, sigma range, rho, t_start). Reference:
+    /root/reference/src/sampling/schedule.py:30-79."""
+    _install_stubs()
+    from sampling.schedule import SamplingSchedule as RefSched
+
+    from dualdiffusion_tpu.sampling.schedule import SamplingSchedule
+
+    assert set(SamplingSchedule.get_schedules_list()) == \
+        set(RefSched.get_schedules_list())
+    for name in RefSched.get_schedules_list():
+        for kw in (dict(sigma_max=200.0, sigma_min=0.03),
+                   dict(sigma_max=11.0, sigma_min=2e-4, rho=3.0),
+                   dict(sigma_max=80.0, sigma_min=0.002, t_start=0.6)):
+            ref_s = RefSched.get_schedule(name, 50, **kw).numpy()
+            my_s = np.asarray(SamplingSchedule.get_schedule(name, 50, **kw))
+            # fp32: tiny tail sigmas carry ~1e-6 relative rounding
+            np.testing.assert_allclose(
+                my_s, ref_s, rtol=5e-4, atol=1e-6 * np.abs(ref_s).max(),
+                err_msg=f"{name} {kw}")
+
+
+def test_wavelet_loss_parity():
+    """Laplacian-pyramid wavelet loss vs the reference (both midside modes
+    goldened; level weights 4^(-i*e)). Reference:
+    /root/reference/src/training/loss/wavelet.py:38-84."""
+    import jax.numpy as jnp
+    _install_stubs()
+    from training.loss.wavelet import (WaveletLoss as RefLoss,
+                                       WaveletLoss_Config as RefCfg)
+
+    from dualdiffusion_tpu.training.losses import wavelet_loss
+
+    rng = np.random.default_rng(17)
+    s = rng.standard_normal((2, 2, 16, 24)).astype(np.float32)
+    t = (s + 0.2 * rng.standard_normal(s.shape)).astype(np.float32)
+    s_cl = np.transpose(s, (0, 2, 3, 1))
+    t_cl = np.transpose(t, (0, 2, 3, 1))
+
+    for midside in ("none", "stack"):
+        ref = RefLoss(RefCfg(levels=3, level_weight_exponent=0.75,
+                             use_midside_transform=midside))
+        ref_loss, _ = ref.wavelet_loss(torch.from_numpy(s),
+                                       torch.from_numpy(t))
+        mine = wavelet_loss(jnp.asarray(s_cl), jnp.asarray(t_cl),
+                            num_levels=3, level_exponent=0.75,
+                            use_midside=midside == "stack")
+        np.testing.assert_allclose(np.asarray(mine), ref_loss.numpy(),
+                                   rtol=2e-5, err_msg=midside)
