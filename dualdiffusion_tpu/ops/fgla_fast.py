@@ -309,8 +309,12 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
     # squared-window OLA envelope over signal rows (host-side constant)
     r_tot = (f - 1) * hop_rows + n1
     env = _overlap_add_np(np.broadcast_to(win ** 2, (f, n_fft)), hop_length)
-    inv_env = (1.0 / np.maximum(env, 1e-11)).astype(np.float32)
-    inv_env = jnp.asarray(inv_env.reshape(r_tot, n2))
+    # keep the host numpy envelope: _loop_fused_iter slices its parity
+    # rows host-side, and jnp-ifying first would turn it into a tracer
+    # under an outer jit (the production sample_to_raw path IS jitted)
+    inv_env_np = (1.0 / np.maximum(env, 1e-11)).astype(np.float32) \
+        .reshape(r_tot, n2)
+    inv_env = jnp.asarray(inv_env_np)
 
     wd = jnp.dtype(work_dtype)
     spec_w = spec_g.astype(wd)
@@ -332,7 +336,7 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
             f"fuse_iteration requires hop == 256, even n1 and a supported "
             f"frame count (got hop_rows={hop_rows}, n1={n1}, F={f})")
     if fuse_iteration:
-        return _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env,
+        return _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env_np,
                                 mom, n_fft, n1, n1p, n2, n_iter,
                                 stereo_coherence, wd, bins, length, win,
                                 ang0=ang0)
@@ -418,7 +422,7 @@ def _loop_fused_iter(spec, spec_w, merged_w, win_gp, inv_env, mom, n_fft,
     f_stack = np.vstack([f1r.T, f1i.T])                  # (2*n1p, n1p)
 
     # parity-bank envelope rows, padded for the kernel's emission windows
-    env = np.asarray(inv_env, np.float32)
+    env = np.asarray(inv_env, np.float32)  # host constant (see caller)
     need = f + _OVER
     env_e = env[0::2]
     env_o = env[1::2]
