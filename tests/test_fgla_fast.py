@@ -374,3 +374,23 @@ def test_spsi_fused_paths_match_plain():
                                    fuse_iteration=False, **kw))
     assert np.abs(a - b).max() / np.abs(a).max() < 0.02
     assert np.abs(a - c).max() / np.abs(a).max() < 0.02
+
+
+def test_griffinlim_fast_traces_under_outer_jit():
+    """The production decode path jits the WHOLE sample_to_raw graph, so
+    every loop variant must trace cleanly inside an enclosing jit
+    (regression: the fused-iteration loop np.asarray'd the OLA envelope,
+    which is a tracer-safe host constant only if never jnp-ified first)."""
+    n_fft, hop, frames = 1280, 256, 40
+    mag, win = _tone_mag(n_fft, hop, frames + 1)
+    mag = mag[:, :, :frames]
+    for kw in (dict(use_pallas=False, fuse_transforms=False,
+                    fuse_iteration=False),
+               dict(fuse_transforms=True, fuse_iteration=False),
+               dict(fuse_iteration=True),
+               dict(fuse_iteration=True, phase_init="spsi")):
+        fg = jax.jit(lambda m, _kw=kw: griffinlim_fast(
+            m, win, n_fft, hop, n_iter=2, momentum=0.99,
+            work_dtype="float32", **_kw))
+        out = np.asarray(fg(mag))
+        assert np.isfinite(out).all(), kw
