@@ -173,7 +173,15 @@ def muon(learning_rate: Callable | float = 0.02, momentum: float = 0.95,
     """Muon: orthogonalized-momentum updates for >=2D weights; grouped-conv
     weights are flattened to (out, -1) before Newton-Schulz
     (reference: nor_muon.py:138-227). NorMuon adds per-output-neuron
-    second-moment normalization."""
+    second-moment normalization.
+
+    Deliberate deviation: momentum uses the published Muon sum convention
+    (m = beta*m + g, nesterov mix beta*m + g) rather than the reference's
+    lerp convention (m = beta*m + (1-beta)*g) — the Newton-Schulz output is
+    scale-invariant so only the momentum/gradient MIX ratio differs
+    (beta vs beta/(1-beta)); tune ``momentum`` accordingly when porting
+    reference hyperparameters. The NS5 core itself is goldened against the
+    reference (tests/test_reference_parity.py)."""
 
     def init(params):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)

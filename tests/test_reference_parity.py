@@ -912,3 +912,27 @@ def test_wavelet_loss_parity():
                             use_midside=midside == "stack")
         np.testing.assert_allclose(np.asarray(mine), ref_loss.numpy(),
                                    rtol=2e-5, err_msg=midside)
+
+
+def test_newton_schulz5_parity():
+    """Muon's quintic Newton-Schulz orthogonalization core vs the
+    reference (which runs in bf16; this repo runs fp32 — tolerance covers
+    the bf16 rounding). Reference: /root/reference/src/training/nor_muon.py:72-107."""
+    import jax.numpy as jnp
+    _install_stubs()
+    from training.nor_muon import _zeropower_via_newtonschulz5 as ref_ns5
+
+    from dualdiffusion_tpu.training.optim import _newton_schulz5
+
+    rng = np.random.default_rng(19)
+    for shape in ((16, 48), (48, 16), (32, 32)):
+        g = rng.standard_normal(shape).astype(np.float32)
+        ref_o = ref_ns5(torch.from_numpy(g)[None]).float().numpy()[0]
+        my_o = np.asarray(_newton_schulz5(jnp.asarray(g)))
+        # directions must agree; bf16 NS amplifies rounding ~1e-2
+        denom = np.abs(ref_o).max()
+        assert np.abs(my_o - ref_o).max() / denom < 5e-2, shape
+        # and the output must be near-orthogonal (singular values ~1)
+        s = np.linalg.svd(my_o if shape[0] <= shape[1] else my_o.T,
+                          compute_uv=False)
+        assert (np.abs(s - 1.0) < 0.35).all(), (shape, s)
