@@ -936,3 +936,59 @@ def test_newton_schulz5_parity():
         s = np.linalg.svd(my_o if shape[0] <= shape[1] else my_o.T,
                           compute_uv=False)
         assert (np.abs(s - 1.0) < 0.35).all(), (shape, s)
+
+
+def test_mdct_and_raw_format_parity():
+    """Standalone MDCT format (single + dual channel MCLT) and the Raw
+    format (mel-density pre-emphasis, analytic dual channel) vs the
+    reference on the same clip. Layouts: this repo is channel-last
+    (B, bins, frames, C); the reference is (B, bins, C, frames) with dual
+    MCLT concatenated on the bins axis. References:
+    /root/reference/src/modules/formats/{mdct.py:58-118, raw.py:58-104}."""
+    import jax.numpy as jnp
+    _install_stubs()
+    from modules.formats.mdct import (MDCT_Format as RefMDCT,
+                                      MDCT_FormatConfig as RefMDCTCfg)
+    from modules.formats.raw import (RawFormat as RefRaw,
+                                     RawFormatConfig as RefRawCfg)
+
+    from dualdiffusion_tpu.models.formats.mdct import (MDCTFormat,
+                                                       MDCTFormatConfig)
+    from dualdiffusion_tpu.models.formats.raw import (RawFormat,
+                                                      RawFormatConfig)
+
+    rng = np.random.default_rng(23)
+    raw = rng.standard_normal((1, 2, 32768)).astype(np.float32) * 0.1
+
+    ref = RefMDCT(RefMDCTCfg())
+    mine = MDCTFormat(MDCTFormatConfig())
+    r1 = ref.raw_to_mdct(torch.from_numpy(raw)).numpy()
+    m1 = np.transpose(
+        np.asarray(mine.raw_to_mdct(jnp.asarray(raw))), (0, 1, 3, 2))
+    np.testing.assert_allclose(m1, r1, atol=2e-5 * np.abs(r1).max())
+    r_back = ref.mdct_to_raw(torch.from_numpy(r1)).numpy()
+    m_back = np.asarray(mine.mdct_to_raw(mine.raw_to_mdct(jnp.asarray(raw))))
+    np.testing.assert_allclose(m_back, r_back,
+                               atol=2e-5 * np.abs(r_back).max())
+
+    rd = ref.raw_to_mdct(torch.from_numpy(raw), dual_channel=True).numpy()
+    md = np.asarray(mine.raw_to_mdct(jnp.asarray(raw), dual_channel=True))
+    bins = md.shape[1]
+    md_ref_layout = np.concatenate(
+        [np.transpose(md[..., :2], (0, 1, 3, 2)),
+         np.transpose(md[..., 2:], (0, 1, 3, 2))], axis=1)
+    assert md_ref_layout.shape == rd.shape, (md.shape, rd.shape)
+    np.testing.assert_allclose(md_ref_layout, rd,
+                               atol=2e-5 * np.abs(rd).max())
+
+    for dual in (False, True):
+        ref_r = RefRaw(RefRawCfg(dual_channel=dual))
+        my_r = RawFormat(RawFormatConfig(dual_channel=dual))
+        a = ref_r.scale(torch.from_numpy(raw)).numpy()
+        b = np.asarray(my_r.raw_to_sample(jnp.asarray(raw)))
+        np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(),
+                                   err_msg=f"raw scale dual={dual}")
+        ar = ref_r.unscale(torch.from_numpy(a)).numpy()
+        br = np.asarray(my_r.sample_to_raw(jnp.asarray(b)))
+        np.testing.assert_allclose(br, ar, atol=2e-5 * np.abs(ar).max(),
+                                   err_msg=f"raw unscale dual={dual}")
