@@ -180,3 +180,68 @@ def torch_unet_state_to_variables(state_dict, template_variables):
         raise KeyError(f"template params not covered by state dict: "
                        f"{sorted(missing)[:8]}")
     return dict(template_variables, params=unflatten_dict(out))
+
+
+def torch_dae_state_to_variables(state_dict, template_variables,
+                                 num_levels: int,
+                                 num_enc_layers: int, num_dec_layers: int):
+    """Convert a reference torch DAE (q4) state dict into this repo's flax
+    variables tree (reference: src/modules/daes/dae_edm2_q4.py:205-300).
+
+    The reference's enc/dec ModuleDicts are ordered exactly like this
+    repo's ``enc``/``dec`` setup lists, so names map positionally:
+    enc order = [block{l}_down (l>0)] + layers per level; dec order =
+    [block{L-1}_in0 | block{l}_up] + layers, levels reversed. conv_in /
+    conv_latents_out / conv_latents_in / conv_out / out_gain /
+    recon_loss_logvar map by name; latent-stats buffers map into the
+    'stats' collection.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    enc_names = []
+    for level in range(num_levels):
+        if level > 0:
+            enc_names.append(f"block{level}_down")
+        enc_names += [f"block{level}_layer{i}" for i in range(num_enc_layers)]
+    dec_names = []
+    for level in reversed(range(num_levels)):
+        dec_names.append(f"block{level}_in0" if level == num_levels - 1
+                         else f"block{level}_up")
+        dec_names += [f"block{level}_layer{i}" for i in range(num_dec_layers)]
+    enc_idx = {n: i for i, n in enumerate(enc_names)}
+    dec_idx = {n: i for i, n in enumerate(dec_names)}
+
+    def path_of(key: str):
+        parts = key.split(".")
+        leaf = {"weight": "w_mp", "bias": "bias"}.get(parts[-1])
+        if parts[0] == "enc":
+            if parts[1] == "conv_in":
+                return ("conv_in", leaf)
+            return (f"enc_{enc_idx[parts[1]]}",) + tuple(parts[2:-1]) \
+                + ((leaf,) if leaf else (parts[-1],))
+        if parts[0] == "dec":
+            return (f"dec_{dec_idx[parts[1]]}",) + tuple(parts[2:-1]) \
+                + ((leaf,) if leaf else (parts[-1],))
+        if parts[0] in ("conv_latents_out", "conv_latents_in", "conv_out"):
+            return (parts[0], leaf)
+        if parts == ["out_gain"] or parts == ["recon_loss_logvar"]:
+            return (parts[0],)
+        raise KeyError(f"unrecognized reference DAE key: {key}")
+
+    flat_t = flatten_dict(template_variables["params"])
+    out = dict(flat_t)
+    used = set()
+    for key, val in state_dict.items():
+        if key.startswith("latents_stats_tracker"):
+            continue  # running stats; seeded fresh (stats collection)
+        path = path_of(key)
+        if path not in flat_t:
+            raise KeyError(f"{key} -> {path} not in template tree; "
+                           f"have e.g. {sorted(flat_t)[:6]}")
+        val = np.asarray(val, np.float32).reshape(np.shape(flat_t[path]))
+        out[path] = jnp.asarray(val)
+        used.add(path)
+    missing = set(flat_t) - used
+    if missing:
+        raise KeyError(f"template params not covered: {sorted(missing)[:8]}")
+    return dict(template_variables, params=unflatten_dict(out))

@@ -81,8 +81,11 @@ class DAEBlock(nn.Module):
 
         c_mid = self.out_channels * cfg.mlp_multiplier
         c_in0 = self.out_channels if self.flavor == "enc" else self.in_channels
+        # unlike the UNet block there is NO activation before conv_res0
+        # (reference dae_edm2_q4.py:180 applies conv_res0 to x directly;
+        # the only mid-block activation is the normalized mp_silu below)
         y = MPConv(c_in0, c_mid, (3, 3), groups=cfg.mlp_groups,
-                   name="conv_res0")(mp_silu(x), training=training)
+                   name="conv_res0")(x, training=training)
 
         if self.emb_channels > 0 and emb is not None:
             emb_gain = self.param("emb_gain", nn.initializers.zeros, ())

@@ -992,3 +992,56 @@ def test_mdct_and_raw_format_parity():
         br = np.asarray(my_r.sample_to_raw(jnp.asarray(b)))
         np.testing.assert_allclose(br, ar, atol=2e-5 * np.abs(ar).max(),
                                    err_msg=f"raw unscale dual={dual}")
+
+
+def test_dae_forward_parity():
+    """DAE encode/decode with IDENTICAL weights vs the reference's torch
+    q4 DAE (model-level parity beyond the UNet golden). Reference:
+    /root/reference/src/modules/daes/dae_edm2_q4.py:205-350."""
+    import jax
+    import jax.numpy as jnp
+    _install_stubs()
+    from modules.daes.dae_edm2_q4 import DAE as RefDAE, DAE_Config as RefCfg
+
+    from dualdiffusion_tpu.models.convert import torch_dae_state_to_variables
+    from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+
+    ref = RefDAE(RefCfg(in_channels=2, out_channels=2, latent_channels=4,
+                        model_channels=16, channel_mult_enc=(1, 2),
+                        channel_mult_dec=(1, 2), in_channels_emb=0,
+                        num_enc_layers_per_block=2,
+                        num_dec_layers_per_block=1)).eval()
+    # the reference normalizes MP weights only on optimizer steps; force
+    # one normalization so both sides run on the same normalized weights
+    ref.normalize_weights()
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    cfg = DAEConfig(in_channels=2, out_channels=2, latent_channels=4,
+                    model_channels=16, channel_mult_enc=(1, 2),
+                    channel_mult_dec=(1, 2), num_enc_layers_per_block=2,
+                    num_dec_layers_per_block=1, compute_dtype="float32")
+    model = DAE(cfg)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 2)))
+    variables = torch_dae_state_to_variables(state, template,
+                                             num_levels=2, num_enc_layers=2,
+                                             num_dec_layers=1)
+
+    rng = np.random.default_rng(29)
+    x = rng.standard_normal((2, 2, 16, 32)).astype(np.float32)  # NCHW
+    x_cl = np.transpose(x, (0, 2, 3, 1))
+
+    with torch.no_grad():
+        ref_lat = ref.encode(torch.from_numpy(x), None).numpy()
+        ref_rec = ref.decode(torch.from_numpy(ref_lat), None).numpy()
+    my_lat = np.asarray(model.apply(variables, jnp.asarray(x_cl),
+                                    method=DAE.encode))
+    my_rec = np.asarray(model.apply(
+        variables, jnp.asarray(np.transpose(ref_lat, (0, 2, 3, 1))),
+        method=DAE.decode))
+
+    lat_err = np.abs(np.transpose(my_lat, (0, 3, 1, 2)) - ref_lat).max() \
+        / np.abs(ref_lat).max()
+    rec_err = np.abs(np.transpose(my_rec, (0, 3, 1, 2)) - ref_rec).max() \
+        / np.abs(ref_rec).max()
+    assert lat_err < 1e-3, lat_err
+    assert rec_err < 1e-3, rec_err
