@@ -51,6 +51,7 @@ class DiscBlock(nn.Module):
         cfg = self.cfg
         c_mid = self.out_channels * cfg.mlp_multiplier
         y = MPConv(self.in_channels, c_mid, cfg.kernel, groups=cfg.mlp_groups,
+                   w_pad_mode="reflect",
                    name="conv_res0")(mp_silu(x), training=training)
         if self.emb_channels > 0 and emb is not None:
             g = self.param("emb_gain", nn.initializers.zeros, ())
@@ -58,6 +59,7 @@ class DiscBlock(nn.Module):
                 emb, gain=g, training=training) + 1.0
             y = y * c.reshape((c.shape[0],) + (1,) * (y.ndim - 2) + (c.shape[-1],)).astype(y.dtype)
         y = MPConv(c_mid, self.out_channels, cfg.kernel, groups=cfg.mlp_groups,
+                   w_pad_mode="reflect",
                    name="conv_res1")(mp_silu(y), training=training)
         if self.in_channels != self.out_channels or cfg.mlp_groups > 1:
             x = MPConv(self.in_channels, self.out_channels, (1, 1, 1),
@@ -72,7 +74,7 @@ class DiscBlock(nn.Module):
         # hidden-activation KL penalty (reference :160-164)
         dims = tuple(range(1, x.ndim))
         mean = x.mean(axis=dims)
-        var = jnp.clip(x.var(axis=dims), min=1e-2)
+        var = jnp.clip(x.var(axis=dims, ddof=1), min=1e-2)  # torch var: ddof=1
         kld = mean ** 2 + var - 1.0 - jnp.log(var)
         return x, kld
 
@@ -90,16 +92,19 @@ class Discriminator(nn.Module):
             self.emb_label = MPConv(cfg.in_channels_emb, cemb, ())
         self.input_gain = self.param("input_gain", nn.initializers.ones, ())
         self.input_shift = self.param("input_shift", nn.initializers.zeros, ())
-        self.conv_in = MPConv(cfg.in_channels + 1, cfg.model_channels, cfg.kernel)
+        self.conv_in = MPConv(cfg.in_channels + 1, cfg.model_channels,
+                              cfg.kernel, w_pad_mode="reflect")
         self.blocks = [DiscBlock(cfg, cfg.model_channels, cfg.model_channels, cemb)
                        for _ in range(cfg.num_layers)]
-        self.conv_out = MPConv(cfg.model_channels, 1, cfg.kernel)
+        self.conv_out = MPConv(cfg.model_channels, 1, cfg.kernel,
+                               w_pad_mode="reflect")
 
     def get_embeddings(self, emb_in: jnp.ndarray, training: bool = False):
         if self.cfg.in_channels_emb <= 0:
             return None
-        return mp_silu(self.emb_label(normalize(emb_in, axis=-1),
-                                      training=training))
+        # unlike the UNet/DAE, the discriminator does NOT activate its
+        # label embedding (reference disc_j3.py:221-225)
+        return self.emb_label(normalize(emb_in, axis=-1), training=training)
 
     def init_all(self, samples: jnp.ndarray,
                  emb_in: Optional[jnp.ndarray] = None):

@@ -71,6 +71,10 @@ class MPConv(nn.Module):
     disable_weight_norm: bool = False
     use_bias: bool = False
     zero_init: bool = False
+    #: "zeros" (torch conv default) or "reflect" for the W axis of 3D
+    #: convs — the discriminator's MPConv3D_E reflect-pads W
+    #: (reference: disc_j3.py:66-76)
+    w_pad_mode: str = "zeros"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, gain: Union[float, jnp.ndarray] = 1.0,
@@ -179,7 +183,12 @@ class MPConv(nn.Module):
                 pad_z = (1, 1)
             else:
                 pad_z = (0, 0)
-            pads = [pad_z, (kh // 2, kh // 2), (kw // 2, kw // 2)]
+            pad_w = (kw // 2, kw // 2)
+            if self.w_pad_mode == "reflect" and kw > 1:
+                x = jnp.pad(x, [(0, 0)] * 3 + [pad_w, (0, 0)],
+                            mode="reflect")
+                pad_w = (0, 0)
+            pads = [pad_z, (kh // 2, kh // 2), pad_w]
             rhs = jnp.transpose(w, (2, 3, 4, 1, 0))  # DHWIO
             dn = jax.lax.conv_dimension_numbers(x.shape, rhs.shape,
                                                 ("NDHWC", "DHWIO", "NDHWC"))

@@ -1045,3 +1045,67 @@ def test_dae_forward_parity():
         / np.abs(ref_rec).max()
     assert lat_err < 1e-3, lat_err
     assert rec_err < 1e-3, rec_err
+
+
+def test_discriminator_forward_parity():
+    """CLAP-conditioned discriminator (j3) with IDENTICAL weights vs the
+    reference: logits + hidden KLD must match (< 1e-3). Covers the
+    reflect-W conv padding, the learned residual balance, the
+    no-activation label embedding and the ddof=1 KLD variance.
+    Reference: /root/reference/src/modules/discs/disc_j3.py:44-240."""
+    import jax
+    import jax.numpy as jnp
+    _install_stubs()
+    from modules.discs.disc_j3 import (Discriminator_J3 as RefDisc,
+                                       Discriminator_J3_Config as RefCfg)
+
+    from dualdiffusion_tpu.models.discriminator import (Discriminator,
+                                                        DiscriminatorConfig)
+
+    ref = RefDisc(RefCfg(in_channels_emb=32, model_channels=8,
+                         channel_mult_emb=4, num_layers=2)).eval()
+    ref.normalize_weights()
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    cfg = DiscriminatorConfig(in_channels_emb=32, model_channels=8,
+                              channel_mult_emb=4, num_layers=2)
+    model = Discriminator(cfg)
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((2, 2, 16, 24)).astype(np.float32)  # B,C,H,W
+    emb_in = rng.standard_normal((2, 32)).astype(np.float32)
+    # reference folds stereo into Z with ONE data channel (disc_j3.py:232)
+    x5 = x[:, None].transpose(0, 2, 3, 4, 1)         # (B, Z=2, H, W, C=1)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x5),
+                          jnp.asarray(emb_in), method=Discriminator.init_all)
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+    flat_t = flatten_dict(template["params"])
+    out = dict(flat_t)
+    for key, val in state.items():
+        parts = key.replace("disc.disc.", "blocks#").replace(
+            "disc.", "").split(".")
+        if parts[0].startswith("blocks#"):
+            parts = [parts[0].replace("blocks#layer", "blocks_")] + parts[1:]
+        path = tuple(p for p in parts[:-1]) + (
+            {"weight": "w_mp", "bias": "bias"}.get(parts[-1], parts[-1]),)
+        tval = flat_t[path]
+        out[path] = jnp.asarray(np.asarray(val, np.float32)
+                                .reshape(np.shape(tval)))
+    variables = dict(template, params=unflatten_dict(out))
+
+    with torch.no_grad():
+        ref_emb = ref.get_embeddings(torch.from_numpy(emb_in))
+        ref_logits = ref(torch.from_numpy(x), None, ref_emb, training=False)
+        _, ref_kld = ref.disc(
+            torch.from_numpy(x[:, None]),
+            ref_emb.unsqueeze(-1).unsqueeze(-1).unsqueeze(-1))
+    my_emb = model.apply(variables, jnp.asarray(emb_in),
+                         method=Discriminator.get_embeddings)
+    my_logits, my_kld = model.apply(variables, jnp.asarray(x5), my_emb)
+
+    # my_logits: (B, Z, H, W, 1) -> reference 4d (B, Z(C), H, W)
+    ml = np.asarray(my_logits)[..., 0]
+    rl = ref_logits.numpy()
+    assert np.abs(ml - rl).max() / np.abs(rl).max() < 1e-3
+    np.testing.assert_allclose(np.asarray(my_kld), ref_kld.numpy(),
+                               rtol=1e-3, atol=1e-4)
