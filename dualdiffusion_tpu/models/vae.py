@@ -23,9 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dae import DAEBlock, DAEConfig
 from .layers import MPConv
-from .mp import mp_silu, normalize
+from .mp import mp_silu, mp_sum, normalize, resample_2d
 
 
 class IsotropicGaussianDistribution(NamedTuple):
@@ -64,6 +63,48 @@ class VAEConfig:
     target_snr: float = 32.0
 
 
+class VAEBlock(nn.Module):
+    """The old-style EDM2 2D block the legacy VAE is built from
+    (reference: old/vaes/vae_edm2.py:51-149): UNet-like — mp_silu BEFORE
+    conv_res0, unconditional encoder pixel norm, emb modulation followed
+    by mp_silu (no grouped normalize) — unlike the q4 DAEBlock."""
+    in_channels: int
+    out_channels: int
+    emb_channels: int
+    flavor: str = "enc"
+    resample_mode: str = "keep"
+    res_balance: float = 0.3
+    mlp_multiplier: int = 1
+    clip_act: float = 256.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        x = resample_2d(x, mode=self.resample_mode)
+        if self.flavor == "enc":
+            if self.in_channels != self.out_channels:
+                x = MPConv(self.in_channels, self.out_channels, (1, 1),
+                           name="conv_skip")(x, training=training)
+            x = normalize(x, axis=-1)  # pixel norm (always, unlike q4 DAE)
+        c_mid = self.out_channels * self.mlp_multiplier
+        c_in0 = self.out_channels if self.flavor == "enc" else self.in_channels
+        y = MPConv(c_in0, c_mid, (3, 3),
+                   name="conv_res0")(mp_silu(x), training=training)
+        if self.emb_channels > 0 and emb is not None:
+            g = self.param("emb_gain", nn.initializers.zeros, ())
+            c = MPConv(self.emb_channels, c_mid, (),
+                       name="emb_linear")(emb, gain=g, training=training) + 1.0
+            y = y * c[:, None, None, :].astype(y.dtype)
+        y = mp_silu(y)
+        y = MPConv(c_mid, self.out_channels, (3, 3),
+                   name="conv_res1")(y, training=training)
+        if self.flavor == "dec" and self.in_channels != self.out_channels:
+            x = MPConv(self.in_channels, self.out_channels, (1, 1),
+                       name="conv_skip")(x, training=training)
+        x = mp_sum(x, y, t=self.res_balance)
+        return jnp.clip(x, -self.clip_act, self.clip_act)
+
+
 class VAE(nn.Module):
     """AutoencoderKL with uniform-target-SNR latents."""
     cfg: VAEConfig
@@ -86,21 +127,21 @@ class VAE(nn.Module):
         self.recon_loss_logvar = self.param("recon_loss_logvar",
                                             nn.initializers.zeros, ())
 
-        dcfg = DAEConfig(res_balance=cfg.res_balance,
-                         mlp_multiplier=cfg.mlp_multiplier,
-                         mlp_groups=cfg.mlp_groups)
+        bkw = dict(emb_channels=cemb, res_balance=cfg.res_balance,
+                   mlp_multiplier=cfg.mlp_multiplier)
 
+        # encoder: down blocks keep the previous level's channels; the
+        # layer blocks do the channel transition (reference :182-200)
         enc = []
         cout = cfg.in_channels + 2  # const + ln-freq positional channel
         self.conv_in = MPConv(cout, cblock[0], (3, 3))
         cout = cblock[0]
         for level, ch in enumerate(cblock):
             if level > 0:
-                enc.append(DAEBlock(dcfg, cout, ch, cemb, flavor="enc",
-                                    resample_mode="down"))
-                cout = ch
+                enc.append(VAEBlock(cout, cout, flavor="enc",
+                                    resample_mode="down", **bkw))
             for _ in range(cfg.num_layers_per_block):
-                enc.append(DAEBlock(dcfg, cout, ch, cemb, flavor="enc"))
+                enc.append(VAEBlock(cout, ch, flavor="enc", **bkw))
                 cout = ch
         self.enc = enc
         self.conv_latents_out = MPConv(cout, cfg.latent_channels, (3, 3))
@@ -113,21 +154,32 @@ class VAE(nn.Module):
             lambda k, s: jnp.asarray(target_sample_std, jnp.float32), ())
         self.out_gain = self.param("out_gain", nn.initializers.ones, ())
 
+        # decoder: two mid blocks at the deepest level, up blocks keep
+        # channels, num_layers+1 layer blocks per level with the channel
+        # transition in the layers (reference :205-222)
         dec = []
         self.conv_latents_in = MPConv(cfg.latent_channels + 2, cblock[-1], (3, 3))
         cout = cblock[-1]
         for level, ch in reversed(list(enumerate(cblock))):
-            if level < self.num_levels - 1:
-                dec.append(DAEBlock(dcfg, cout, ch, cemb, flavor="dec",
-                                    resample_mode="up"))
-                cout = ch
-            for _ in range(cfg.num_layers_per_block):
-                dec.append(DAEBlock(dcfg, cout, ch, cemb, flavor="dec"))
+            if level == self.num_levels - 1:
+                dec.append(VAEBlock(cout, cout, flavor="dec", **bkw))
+                dec.append(VAEBlock(cout, cout, flavor="dec", **bkw))
+            else:
+                dec.append(VAEBlock(cout, cout, flavor="dec",
+                                    resample_mode="up", **bkw))
+            for _ in range(cfg.num_layers_per_block + 1):
+                dec.append(VAEBlock(cout, ch, flavor="dec", **bkw))
                 cout = ch
         self.dec = dec
         self.conv_out = MPConv(cout, cfg.out_channels, (3, 3))
 
     # ---- helpers -------------------------------------------------------
+    def init_all(self, x: jnp.ndarray, emb_in: Optional[jnp.ndarray] = None):
+        """Init entry point touching every head (flax creates params only
+        for traced modules)."""
+        emb = self.get_embeddings(emb_in) if emb_in is not None else None
+        return self(x, emb)
+
     def get_embeddings(self, emb_in: jnp.ndarray, training: bool = False):
         return mp_silu(self.emb_label(normalize(emb_in, axis=-1),
                                       training=training))

@@ -1109,3 +1109,122 @@ def test_discriminator_forward_parity():
     assert np.abs(ml - rl).max() / np.abs(rl).max() < 1e-3
     np.testing.assert_allclose(np.asarray(my_kld), ref_kld.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_vae_forward_parity():
+    """Legacy uniform-target-SNR KL VAE with IDENTICAL weights vs the
+    reference's AutoencoderKL_EDM2: encode latents + decode output match
+    < 1e-3. Reference: /root/reference/src/modules/old/vaes/vae_edm2.py:51-290."""
+    import jax
+    import jax.numpy as jnp
+    _install_stubs()
+    # vae_edm2.py imports the pre-move path "modules.vaes.vae"; the base
+    # now lives under modules/old/vaes (stale upstream import) — alias it
+    import importlib
+    vae_base = importlib.import_module("modules.old.vaes.vae")
+    sys.modules.setdefault("modules.vaes", types.ModuleType("modules.vaes"))
+    sys.modules["modules.vaes.vae"] = vae_base
+    from modules.old.vaes.vae_edm2 import (AutoencoderKL_EDM2 as RefVAE,
+                                           DualDiffusionVAE_EDM2Config
+                                           as RefCfg)
+
+    from dualdiffusion_tpu.models.vae import VAE, VAEConfig
+
+    kw = dict(in_channels=2, out_channels=2, latent_channels=4,
+              label_dim=16, model_channels=8, channel_mult=(1, 2),
+              channel_mult_emb=2, num_layers_per_block=1)
+    ref = RefVAE(RefCfg(**kw)).eval()
+    ref.normalize_weights()
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    model = VAE(VAEConfig(**kw))
+    rng = np.random.default_rng(37)
+    x = rng.standard_normal((2, 2, 16, 24)).astype(np.float32)   # NCHW
+    labels = rng.standard_normal((2, 16)).astype(np.float32)
+    lf_mel = rng.standard_normal(16).astype(np.float32)          # sample res
+    lf_lat = rng.standard_normal(8).astype(np.float32)           # latent res
+
+    x_cl = np.transpose(x, (0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x_cl),
+                          jnp.asarray(labels), method=VAE.init_all)
+
+    # positional mapping reference ModuleDict order == this repo's lists
+    enc_names, idx = [], 0
+    L, n = 2, kw["num_layers_per_block"]
+    for level in range(L):
+        if level > 0:
+            enc_names.append(f"block{level}_down")
+        enc_names += [f"block{level}_layer{i}" for i in range(n)]
+    dec_names = []
+    for level in reversed(range(L)):
+        if level == L - 1:
+            dec_names += [f"block{level}_in0", f"block{level}_in1"]
+        else:
+            dec_names.append(f"block{level}_up")
+        dec_names += [f"block{level}_layer{i}" for i in range(n + 1)]
+    enc_idx = {nm: i for i, nm in enumerate(enc_names)}
+    dec_idx = {nm: i for i, nm in enumerate(dec_names)}
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+    flat_t = flatten_dict(template["params"])
+    out = dict(flat_t)
+    for key, val in state.items():
+        parts = key.split(".")
+        if parts == ["latents_logvar"]:
+            continue  # unused in the reference too
+        if parts[0] == "enc":
+            if parts[1] == "conv_in":
+                path = ("conv_in",)
+            else:
+                path = (f"enc_{enc_idx[parts[1]]}",) + tuple(parts[2:-1])
+        elif parts[0] == "dec":
+            path = (f"dec_{dec_idx[parts[1]]}",) + tuple(parts[2:-1])
+        else:
+            path = tuple(parts[:-1])
+        leaf = {"weight": "w_mp", "bias": "bias"}.get(parts[-1], parts[-1])
+        if parts[-1] in ("out_gain", "latents_out_gain",
+                         "recon_loss_logvar", "emb_gain"):
+            path, leaf = path, parts[-1]
+        path = path + (leaf,)
+        tval = flat_t[path]
+        out[path] = jnp.asarray(np.asarray(val, np.float32)
+                                .reshape(np.shape(tval)))
+    variables = dict(template, params=unflatten_dict(out))
+
+    class _Fmt:
+        def get_ln_freqs(self, xt):
+            lf = lf_mel if xt.shape[2] == 16 else lf_lat
+            return torch.from_numpy(
+                np.broadcast_to(lf[None, None, :, None],
+                                (xt.shape[0], 1, len(lf), xt.shape[3]))
+                .astype(np.float32).copy())
+
+    with torch.no_grad():
+        # NOT ref.get_embeddings: the reference replaces the labels with
+        # torch.randn_like (vae_edm2.py:230, "mysteriously generates
+        # sharper output") — compute the deterministic embedding path
+        from modules.mp_tools import mp_silu as ref_mp_silu
+        from modules.mp_tools import normalize as ref_normalize
+        ref_emb = ref_mp_silu(ref.emb_label(
+            ref_normalize(torch.from_numpy(labels))))
+        ref_dist = ref.encode(torch.from_numpy(x), ref_emb, _Fmt())
+        ref_lat = ref_dist.mode().numpy()
+        ref_rec = ref.decode(torch.from_numpy(ref_lat), ref_emb,
+                             _Fmt()).numpy()
+    my_emb = model.apply(variables, jnp.asarray(labels),
+                         method=VAE.get_embeddings)
+    np.testing.assert_allclose(np.asarray(my_emb), ref_emb.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    my_dist = model.apply(variables, jnp.asarray(x_cl), my_emb,
+                          jnp.asarray(lf_mel), method=VAE.encode)
+    my_lat = np.asarray(my_dist.mean)
+    my_rec = np.asarray(model.apply(
+        variables, jnp.asarray(np.transpose(ref_lat, (0, 2, 3, 1))),
+        my_emb, jnp.asarray(lf_lat), method=VAE.decode))
+
+    lat_err = np.abs(np.transpose(my_lat, (0, 3, 1, 2)) - ref_lat).max() \
+        / np.abs(ref_lat).max()
+    rec_err = np.abs(np.transpose(my_rec, (0, 3, 1, 2)) - ref_rec).max() \
+        / np.abs(ref_rec).max()
+    assert lat_err < 1e-3, lat_err
+    assert rec_err < 1e-3, rec_err
