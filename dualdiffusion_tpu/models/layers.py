@@ -95,7 +95,17 @@ class MPConv(nn.Module):
             w = w * gain
 
         if len(self.kernel) == 0:
-            out = jnp.matmul(x, w.T.astype(x.dtype))
+            if self.groups > 1:
+                # grouped linear (the reference's grouped 1x1 emb_linear,
+                # e.g. emb_linear_groups=8): group-major channel blocks
+                g = self.groups
+                xg = x.reshape(x.shape[:-1] + (g, self.in_channels // g))
+                wg = w.astype(x.dtype).reshape(
+                    g, self.out_channels // g, self.in_channels // g)
+                out = jnp.einsum("...gi,goi->...go", xg, wg)
+                out = out.reshape(x.shape[:-1] + (self.out_channels,))
+            else:
+                out = jnp.matmul(x, w.T.astype(x.dtype))
         elif w_pack > 1:
             out = self._packed_conv(x, w, w_pack)
         else:
@@ -243,8 +253,12 @@ class MPConv(nn.Module):
         h_out = (h - 1) // s + 1
         w_out = (w_in - 1) // s + 1
 
+        pad_w = (kw // 2, kw // 2)
+        if self.w_pad_mode == "reflect" and nd == 3 and kw > 1:
+            x6 = jnp.pad(x6, [(0, 0)] * 4 + [pad_w, (0, 0)], mode="reflect")
+            pad_w = (0, 0)
         pads = [(0, 0), (0, 0), (1, 1) if kz == 3 else (0, 0),
-                (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)]
+                (kh // 2, kh // 2), pad_w, (0, 0)]
         xg = jnp.pad(x6, pads)
         # (g*cog, cig, [kz,]kh,kw) -> taps of (g, cig, cog)
         wt = w.reshape((g, cog, cig) + ((kz,) if nd == 3 else (1,)) + (kh, kw))

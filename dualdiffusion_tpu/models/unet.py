@@ -69,6 +69,26 @@ class UNetConfig:
     logvar_channels: int = 128
     use_3d: bool = False                # stereo-folded (B, Z, H, W, C) convs
     input_kernel: Tuple[int, int] = (3, 3)
+    #: z-kernel for conv_in/conv_out in 3D mode (the d1-series uses 2 —
+    #: stereo-wrapped io convs; reference: unet_edm2_d1.py:268,304)
+    io_kernel_z: int = 1
+    #: z-kernel for 1x1 skip convs in 3D mode: 2 = stereo-wrapped
+    #: (b-series, unet_edm2_b4_3d.py:154), 1 = plain (d1-series)
+    skip_kernel_z: int = 2
+    #: bias on conv_in (the q-series MPConv has one; the d1-series
+    #: MPConv3D_E has no bias anywhere)
+    io_bias: bool = True
+    #: apply the 1x1 skip conv in EVERY block (the d1-series builds it
+    #: unconditionally, unet_edm2_d1.py:157; the q-series only when
+    #: channels change)
+    always_skip: bool = False
+    #: W-axis conv padding: "zeros" (torch default; q-series) or "reflect"
+    #: (the d1-series MPConv3D_E; reference: unet_edm2_d1.py:60-66)
+    conv_w_pad: str = "zeros"
+    #: concat a constant ones channel / the format's standardized ln-freq
+    #: positional channel to the input (reference: unet_edm2_d1.py:259,351)
+    add_constant_channel: bool = False
+    add_ln_freqs_channel: bool = False
     #: rematerialize each residual block's activations in the backward
     #: pass (jax.checkpoint) — trades ~30% more FLOPs for O(depth) less
     #: activation memory; required to train the 356M reference-scale
@@ -154,9 +174,10 @@ class UNetBlock(nn.Module):
             x = _pack_w(x, wp)
 
         if self.flavor == "enc":
-            if self.in_channels != self.out_channels:
+            if cfg.always_skip or self.in_channels != self.out_channels:
                 x = MPConv(self.in_channels, self.out_channels,
-                           _conv_kernel(cfg, (1, 1), kz=2 if cfg.use_3d else 1),
+                           _conv_kernel(cfg, (1, 1), kz=cfg.skip_kernel_z
+                                        if cfg.use_3d else 1),
                            name="conv_skip")(x, training=training, w_pack=wp)
             x = _packed_pixel_norm(x, wp)  # pixel norm over true channels
 
@@ -168,7 +189,8 @@ class UNetBlock(nn.Module):
         # paying XLA's group relayout once per chain instead of per conv
         grouped = cfg.mlp_groups > 1
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
-                   groups=cfg.mlp_groups, name="conv_res0")(
+                   groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,
+                   name="conv_res0")(
             mp_silu(x), training=training, grouped_out=grouped, w_pack=wp)
 
         if self.emb_channels > 0 and emb is not None:
@@ -195,12 +217,15 @@ class UNetBlock(nn.Module):
             y = jnp.where(keep, y / (1.0 - cfg.dropout), 0.0) * (1.0 - cfg.dropout) ** 0.5
 
         y = MPConv(c_mid, self.out_channels, _conv_kernel(cfg, (3, 3)),
-                   groups=cfg.mlp_groups, name="conv_res1")(
+                   groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,
+                   name="conv_res1")(
             y, training=training, grouped_in=grouped, w_pack=wp)
 
-        if self.flavor == "dec" and self.in_channels != self.out_channels:
+        if self.flavor == "dec" and (cfg.always_skip
+                                     or self.in_channels != self.out_channels):
             x = MPConv(self.in_channels, self.out_channels,
-                       _conv_kernel(cfg, (1, 1), kz=2 if cfg.use_3d else 1),
+                       _conv_kernel(cfg, (1, 1), kz=cfg.skip_kernel_z
+                                    if cfg.use_3d else 1),
                        name="conv_skip")(x, training=training, w_pack=wp)
         x = mp_sum(x, y, t=cfg.res_balance)
 
@@ -325,6 +350,7 @@ class UNetCore(nn.Module):
         in_ch = cfg.in_channels
         if cfg.in_psd_freqs > 0:
             in_ch += (cfg.in_psd_freqs // cfg.in_num_freqs) * cfg.in_channels
+        in_ch += int(cfg.add_constant_channel) + int(cfg.add_ln_freqs_channel)
         ops = []
         cout = in_ch
         skip_ch = []
@@ -374,10 +400,15 @@ class UNetCore(nn.Module):
         self.emb_noise = MPConv(self._cnoise(), cemb, ())
         for name, kind, level, cin, cout in ops:
             if kind == "enc_in":
-                mod = MPConv(cin, cout, _conv_kernel(cfg, cfg.input_kernel),
-                             use_bias=True)
+                mod = MPConv(cin, cout,
+                             _conv_kernel(cfg, cfg.input_kernel,
+                                          kz=cfg.io_kernel_z),
+                             use_bias=cfg.io_bias,
+                             w_pad_mode=cfg.conv_w_pad)
             elif kind == "conv_out":
-                mod = MPConv(cin, cout, _conv_kernel(cfg, (3, 3)))
+                mod = MPConv(cin, cout,
+                             _conv_kernel(cfg, (3, 3), kz=cfg.io_kernel_z),
+                             w_pad_mode=cfg.conv_w_pad)
             else:
                 flavor = "enc" if kind.startswith("enc") else "dec"
                 resample = {"enc_down": "down", "dec_up": "up"}.get(kind, "keep")
@@ -456,9 +487,12 @@ class UNetCore(nn.Module):
 
     def precondition(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
                      embeddings: Optional[jnp.ndarray],
-                     x_ref: Optional[jnp.ndarray], training: bool = False):
-        """EDM2 preconditioning + x_ref fold + noise/label embedding.
-        Returns (x, emb, c_skip, c_out)."""
+                     x_ref: Optional[jnp.ndarray], training: bool = False,
+                     ln_freqs: Optional[jnp.ndarray] = None):
+        """EDM2 preconditioning + x_ref fold + aux channels + noise/label
+        embedding. Returns (x, emb, c_skip, c_out). ``ln_freqs``: (H,)
+        log-frequencies for the positional channel (standardized in-model,
+        so the log base is irrelevant); defaults to mel-scale centers."""
         cfg = self.cfg
         dtype = jnp.bfloat16
         sigma = sigma.reshape((-1,) + (1,) * (x_in.ndim - 1)).astype(jnp.float32)
@@ -486,6 +520,28 @@ class UNetCore(nn.Module):
             # convert_unet_to_inpainting zero-init extension)
             x = jnp.concatenate([x, x_ref.astype(dtype)], axis=-1)
 
+        if cfg.add_constant_channel or cfg.add_ln_freqs_channel:
+            # d1-style input conditioning: constant ones channel + the
+            # standardized ln-freq positional channel (unet_edm2_d1.py:351)
+            parts = [x]
+            if cfg.add_constant_channel:
+                parts.append(jnp.ones(x.shape[:-1] + (1,), x.dtype))
+            if cfg.add_ln_freqs_channel:
+                h_ax = 2 if cfg.use_3d else 1
+                if ln_freqs is None:
+                    from ..ops.mel import hz_to_mel, mel_to_hz
+                    m = np.linspace(hz_to_mel(20.0), hz_to_mel(16000.0),
+                                    x.shape[h_ax] + 2)[1:-1]
+                    ln_freqs = jnp.asarray(np.log(mel_to_hz(m)), jnp.float32)
+                lf = ln_freqs.astype(jnp.float32)
+                lf = (lf - lf.mean()) / lf.std()
+                shape = [1] * x.ndim
+                shape[h_ax] = x.shape[h_ax]
+                pos = jnp.broadcast_to(lf.reshape(shape),
+                                       x.shape[:-1] + (1,)).astype(x.dtype)
+                parts.append(pos)
+            x = jnp.concatenate(parts, axis=-1)
+
         emb = self.emb_fourier(c_noise)
         emb = self.emb_noise(emb, training=training)
         if cfg.in_channels_emb > 0 and embeddings is not None:
@@ -496,9 +552,10 @@ class UNetCore(nn.Module):
     def __call__(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
                  embeddings: Optional[jnp.ndarray] = None,
                  x_ref: Optional[jnp.ndarray] = None,
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False,
+                 ln_freqs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x, emb, c_skip, c_out = self.precondition(x_in, sigma, embeddings,
-                                                  x_ref, training)
+                                                  x_ref, training, ln_freqs)
         x, _ = self.run_ops(x, emb, [], training=training)
         return c_skip * x_in.astype(jnp.float32) + c_out * x.astype(jnp.float32)
 
@@ -528,8 +585,9 @@ class UNet(nn.Module):
     def __call__(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
                  embeddings: Optional[jnp.ndarray] = None,
                  x_ref: Optional[jnp.ndarray] = None,
-                 training: bool = False) -> jnp.ndarray:
-        return self.core(x_in, sigma, embeddings, x_ref, training)
+                 training: bool = False,
+                 ln_freqs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        return self.core(x_in, sigma, embeddings, x_ref, training, ln_freqs)
 
     def init_all(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
                  emb_in: Optional[jnp.ndarray] = None,

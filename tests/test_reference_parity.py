@@ -1228,3 +1228,96 @@ def test_vae_forward_parity():
         / np.abs(ref_rec).max()
     assert lat_err < 1e-3, lat_err
     assert rec_err < 1e-3, rec_err
+
+
+def test_unet_d1_3d_forward_parity():
+    """The d1-series 3D latent UNet (the reference's current latent
+    diffusion architecture) with IDENTICAL weights: stereo-folded E-variant
+    convs (reflect-W padding, back-reflect Z == circular wrap at Z=2,
+    (2,3,3) io kernels, plain 1x1 skips, no biases), constant + ln-freq
+    input channels, double mid block with attention, grouped MLPs, full
+    spatial attention. Reference: /root/reference/src/modules/unets/
+    unet_edm2_d1.py:44-368."""
+    import jax
+    import jax.numpy as jnp
+    _install_stubs()
+    from modules.unets.unet_edm2_d1 import UNet_D1, UNet_D1_Config
+
+    from dualdiffusion_tpu.models.convert import torch_unet_state_to_variables
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+
+    ref = UNet_D1(UNet_D1_Config(
+        in_channels=4, out_channels=4, in_channels_emb=16, in_num_freqs=8,
+        model_channels=8, channel_mult=(1, 2), channel_mult_noise=2,
+        channel_mult_emb=2, channels_per_head=8, num_layers_per_block=1,
+        attn_levels=(1,), mlp_multiplier=2, mlp_groups=2,
+        emb_linear_groups=2, logvar_channels=16, double_midblock=True,
+        midblock_attn=True, add_constant_channel=True)).eval()
+    ref.normalize_weights()
+    state = {k: v.float().numpy() for k, v in ref.state_dict().items()}
+    # the d1 forward hard-casts embeddings to bf16 (unet_edm2_d1.py:348)
+    # and mp_sum requires matching dtypes -> run the reference in bf16,
+    # exactly how its from_pretrained serves it
+    ref = ref.to(dtype=torch.bfloat16)
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=16,
+                     in_num_freqs=8, model_channels=8, channel_mult=(1, 2),
+                     channel_mult_noise=2, channel_mult_emb=2,
+                     channels_per_head=8, num_layers_per_block=1,
+                     attn_levels=(1,), attn_axis="full", mlp_multiplier=2,
+                     mlp_groups=2, emb_linear_groups=2, logvar_channels=16,
+                     double_midblock=True, midblock_attn=True, use_3d=True,
+                     io_kernel_z=2, conv_w_pad="reflect",
+                     io_bias=False, always_skip=True,
+                     add_constant_channel=True,
+                     add_ln_freqs_channel=True)
+    model = UNet(cfg)
+
+    rng = np.random.default_rng(41)
+    b, z, h, w = 2, 2, 8, 12
+    x5 = rng.standard_normal((b, 4, z, h, w)).astype(np.float32)  # B,C,Z,H,W
+    x4 = x5.reshape(b, 4 * z, h, w)                  # tensor_5d_to_4d order
+    emb_in = rng.standard_normal((b, 16)).astype(np.float32)
+    sigma = np.array([3.0, 0.5], np.float32)
+    ln_freqs = np.log2(np.linspace(40.0, 8000.0, h)).astype(np.float32)
+    x_cl = np.transpose(x5, (0, 2, 3, 4, 1))         # B,Z,H,W,C
+
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x_cl),
+                          jnp.asarray(sigma), jnp.asarray(emb_in),
+                          method=UNet.init_all)
+    variables = torch_unet_state_to_variables(state, template)
+
+    class _Fmt:
+        class ms_freq_scale:
+            @staticmethod
+            def get_unscaled(n, device=None):
+                # n = h + 2; the reference drops the endpoints
+                full = np.concatenate([[20.0], np.linspace(40.0, 8000.0,
+                                                           n - 2), [16000.0]])
+                return torch.from_numpy(full.astype(np.float32))
+
+    with torch.no_grad():
+        ref_emb = ref.get_embeddings(torch.from_numpy(emb_in),
+                                     torch.ones(b))
+        ref_out = ref(torch.from_numpy(x4), torch.from_numpy(sigma),
+                      _Fmt(), ref_emb).float().numpy()
+        ref_lv = ref.get_sigma_loss_logvar(
+            torch.from_numpy(sigma)).float().numpy()
+
+    my_emb = model.apply(variables, jnp.asarray(emb_in), jnp.ones((b,)),
+                         method=UNet.get_embeddings)
+    np.testing.assert_allclose(np.asarray(my_emb), ref_emb.float().numpy(),
+                               rtol=5e-2, atol=5e-2)
+    my_out = np.asarray(model.apply(variables, jnp.asarray(x_cl),
+                                    jnp.asarray(sigma), my_emb,
+                                    ln_freqs=jnp.asarray(ln_freqs)))
+    my_lv = np.asarray(model.apply(variables, jnp.asarray(sigma),
+                                   method=UNet.get_sigma_loss_logvar))
+
+    # ours (B,Z,H,W,C) -> reference 4d (B, C*Z, H, W)
+    mo = np.transpose(my_out, (0, 4, 1, 2, 3)).reshape(b, 4 * z, h, w)
+    err = np.abs(mo - ref_out).max() / np.abs(ref_out).max()
+    # bf16 internals on both sides; identical weights
+    assert err < 2e-2, err
+    np.testing.assert_allclose(my_lv.reshape(-1), ref_lv.reshape(-1),
+                               rtol=2e-2, atol=2e-3)
