@@ -14,7 +14,11 @@ Capability parity with the reference's current DAE
   * supersampled-latent variant (reference: dae_edm2_d3.py:337-354): the
     encoder runs at full resolution and the latent projection is average-
     pooled by ``downsample_ratio``, guaranteeing sub-latent-pixel shift
-    equivariance (enable with ``supersampled=True``).
+    equivariance (enable with ``supersampled=True``). Deliberate deviation:
+    the d3-series experiment uses the OLD 3D block (mp_silu before
+    conv_res0, dae_edm2_d3.py:195); this repo applies the supersampling
+    idea on the CURRENT q4 block (weight-goldened against the reference),
+    per SURVEY §7.1's one-parameterized-implementation-per-role stance.
 """
 
 from __future__ import annotations
