@@ -1321,3 +1321,41 @@ def test_unet_d1_3d_forward_parity():
     assert err < 2e-2, err
     np.testing.assert_allclose(my_lv.reshape(-1), ref_lv.reshape(-1),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_mel_cascade_parity():
+    """MelCascade transition matrices and forward/inverse transforms vs the
+    reference's torch implementation. Reference:
+    /root/reference/src/modules/mel_cascade.py:28-235."""
+    import jax.numpy as jnp
+    _install_stubs()
+    import modules.mel_cascade as ref_mc
+
+    from dualdiffusion_tpu.models import mel_cascade as mc
+
+    # frequency grids + transition matrix construction
+    for n, alpha in ((64, 0.0), (64, 0.5), (48, 1.0)):
+        a = mc.get_frequency_grid(n, alpha)
+        b = ref_mc.get_frequency_grid(n, alpha)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    src = ref_mc.get_frequency_grid(64, 0.0)
+    tgt = ref_mc.get_frequency_grid(32, 0.5)
+    A_ref = ref_mc.build_transition_matrix(
+        torch.from_numpy(np.asarray(src, np.float32)),
+        torch.from_numpy(np.asarray(tgt, np.float32))).numpy()
+    A_my = mc.build_transition_matrix(np.asarray(src, np.float32),
+                                      np.asarray(tgt, np.float32))
+    np.testing.assert_allclose(np.asarray(A_my), A_ref, atol=1e-5)
+
+    # full cascade forward on a random spectrogram-like input
+    rng = np.random.default_rng(43)
+    x = np.abs(rng.standard_normal((2, 2, 64, 12))).astype(np.float32)
+    ref = ref_mc.MelCascade(num_bins=64, num_stages=2)
+    mine = mc.MelCascade(num_bins=64, num_stages=2)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    my_out = mine(jnp.asarray(x))
+    if isinstance(ref_out, (list, tuple)):
+        ref_out = ref_out[-1]
+    np.testing.assert_allclose(np.asarray(my_out), ref_out.numpy(),
+                               rtol=1e-4, atol=1e-5)
