@@ -320,3 +320,49 @@ def test_unet_pipeline_ref_scale_structure():
         core, v, xx, s, e, mesh, num_microbatches=2))(variables, x, sigma, emb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tensor_parallel_sampler_matches_replicated():
+    """TP inference: the full EDM sampler with UNet params sharded over a
+    2-wide model axis (param_sharding_rule out-channel split; GSPMD
+    inserts the contractions' collectives) must reproduce the replicated
+    single-placement run. This is the multi-chip serving path: the same
+    shard_train_state rule applied to inference variables."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.parallel import (MeshConfig, make_mesh,
+                                            replicate_state,
+                                            shard_train_state)
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+    from dualdiffusion_tpu.sampling import SampleParams, edm_sample
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=16,
+                     model_channels=16, channel_mult=(1, 2),
+                     num_layers_per_block=1, channels_per_head=16,
+                     logvar_channels=16)
+    model = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    shape = (1, 16, 32, 4)
+    uvars = model.init(key, jnp.zeros(shape), jnp.ones((1,)),
+                       jnp.zeros((1, 16)), method=UNet.init_all)
+    emb_c = model.apply(uvars, jnp.ones((1, 16)), jnp.ones((1,)),
+                        method=UNet.get_embeddings)
+    emb2 = jnp.concatenate([emb_c, emb_c * 0], axis=0)
+    sp = SampleParams(steps=8, cfg_scale=1.5, use_heun=True)
+
+    def sample(uv):
+        def denoise(x, sigma):
+            return model.apply(uv, x, sigma, emb2)
+        latents, _ = edm_sample(denoise, shape, sp, 80.0, 0.03, 1.0,
+                                jax.random.PRNGKey(7), return_debug=False)
+        return latents
+
+    outs = {}
+    for model_axis in (1, 2):
+        mesh = make_mesh(MeshConfig(model_axis=model_axis))
+        uv = (shard_train_state(mesh, uvars) if model_axis > 1
+              else replicate_state(mesh, uvars))
+        with mesh:
+            outs[model_axis] = np.asarray(jax.jit(sample)(uv))
+    assert np.isfinite(outs[2]).all()
+    np.testing.assert_allclose(outs[2], outs[1], rtol=2e-4, atol=2e-4)
