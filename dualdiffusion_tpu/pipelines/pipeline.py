@@ -170,6 +170,7 @@ class Pipeline:
                  dataset_embeddings: Optional[Dict[str, np.ndarray]] = None):
         self.modules = modules
         self.dataset_embeddings = dataset_embeddings or {}
+        self.mesh = None  # set by shard(); None = single-device placement
 
     def __getattr__(self, name: str):
         modules = self.__dict__.get("modules", {})
@@ -210,6 +211,32 @@ class Pipeline:
             if dev is not None and h.variables is not None:
                 h.variables = jax.device_put(h.variables, dev)
                 h.device = dev
+        return self
+
+    def shard(self, model_axis: int, devices: Optional[Any] = None
+              ) -> "Pipeline":
+        """Tensor-parallel placement over a device mesh (multi-chip
+        serving).
+
+        Shards every module's weights out-channel-wise over a
+        ``model_axis``-wide mesh axis (``parallel.param_sharding_rule`` —
+        the same rule the trainer uses), so the jitted sampler/decode
+        stages in :meth:`generate` run under GSPMD with XLA-inserted
+        collectives. Exactness vs the replicated run is asserted by
+        tests/test_parallel.py::test_tensor_parallel_sampler_matches_replicated
+        and the __graft_entry__ dryrun's tp-inference leg. The reference
+        has no analog (single-GPU serving only,
+        src/pipelines/dual_diffusion_pipeline.py:139-166).
+        """
+        from ..parallel import MeshConfig, make_mesh, shard_train_state
+        if devices is None:
+            devices = jax.devices()[:model_axis]
+        mesh = make_mesh(MeshConfig(data_axis=1, model_axis=model_axis),
+                         devices=devices)
+        for h in self.modules.values():
+            if h.variables is not None:
+                h.variables = shard_train_state(mesh, h.variables)
+        self.mesh = mesh
         return self
 
     # ---- io ------------------------------------------------------------

@@ -56,6 +56,9 @@ def main():
                     help="regenerate only this time range (seconds) of the "
                          "--img2img input, e.g. --inpaint 10:20")
     ap.add_argument("--output", default="output.wav")
+    ap.add_argument("--tp", type=int, default=1, metavar="N",
+                    help="tensor-parallel width: shard module weights over "
+                         "an N-wide mesh axis (multi-chip serving)")
     args = ap.parse_args()
 
     if args.interactive:
@@ -75,6 +78,8 @@ def main():
 
     load_emas = {"unet": args.load_ema} if args.load_ema else None
     pipeline = Pipeline.from_pretrained(args.model_path, load_emas=load_emas)
+    if args.tp > 1:
+        pipeline.shard(args.tp)
     seed = args.seed if args.seed is not None else int(np.random.randint(100000, 999999))
     params = SampleParams(steps=args.steps, cfg_scale=args.cfg_scale,
                           seed=seed, batch_size=args.batch_size,

@@ -186,3 +186,23 @@ def test_per_module_device_placement(key):
                           length=4096, batch_size=1, num_fgla_iters=1)
     out = pipe.generate(params, key)
     assert bool(jnp.isfinite(out["raw"]).all())
+
+
+def test_generate_tensor_parallel_matches_single(key):
+    """Pipeline.shard(2): the whole generate() path (sampler -> DAE
+    decode -> FGLA) with tensor-parallel weights reproduces the
+    single-placement run."""
+    params = SampleParams(steps=2, use_heun=False, cfg_scale=1.5,
+                          length=4096, batch_size=1, num_fgla_iters=2,
+                          seed=11)
+    outs = {}
+    for tp in (1, 2):
+        pipe = make_pipeline(key)
+        if tp > 1:
+            pipe.shard(tp)
+            assert pipe.mesh is not None
+        emb = pipe.get_prompt_embedding({"gameA": 1.0})
+        outs[tp] = np.asarray(
+            pipe.generate(params, key, prompt_embedding=emb)["raw"])
+    assert np.isfinite(outs[2]).all()
+    np.testing.assert_allclose(outs[2], outs[1], rtol=2e-4, atol=2e-4)
