@@ -363,8 +363,10 @@ class Trainer:
             for name in self.ema_bank.offloaded:
                 p = ckpt / self.config.module_name / f"ema_{name}.safetensors"
                 if p.is_file():
+                    # copy: safetensors arrays are read-only mmaps, and the
+                    # host EMA lerp updates them in place
                     self.host_ema[name] = jax.tree_util.tree_map(
-                        lambda v: np.asarray(v, np.float32),
+                        lambda v: np.array(v, np.float32, copy=True),
                         _unflatten(load_safetensors(p)))
             if not self.host_ema:
                 self.host_ema = None

@@ -92,3 +92,23 @@ def test_train_cli_dp_tp_step(tmp_path):
     for v in slow.values():
         assert v.dtype == np.float32
         assert np.isfinite(v).all()
+
+    # resume under tensor parallelism: orbax must restore into the
+    # TP-sharded train state (train.py shards BEFORE load_checkpoint) and
+    # both EMA profiles (device bf16 + host-offloaded) must survive
+    _run_train_cli(["train.py", "--model_path", str(model_dir),
+                    "--train_config_path", str(cpath),
+                    "--dataset_path", str(data_dir),
+                    "--resume", "--max_steps", "4"])
+    ckpts = sorted(model_dir.glob("unet_checkpoint-*"),
+                   key=lambda p: int(p.name.rsplit("-", 1)[1]))
+    assert int(ckpts[-1].name.rsplit("-", 1)[1]) >= 4, ckpts
+    fast2 = load_safetensors(ckpts[-1] / "unet" / "ema_fast.safetensors")
+    slow2 = load_safetensors(ckpts[-1] / "unet" / "ema_slow.safetensors")
+    # EMAs kept evolving after resume (not reset to the module weights)
+    diff = sum(float(np.abs(np.asarray(fast2[k], np.float32)
+                            - np.asarray(fast[k], np.float32)).max())
+               for k in fast)
+    assert diff > 0, "fast EMA did not advance across resume"
+    for v in slow2.values():
+        assert np.isfinite(v).all()
