@@ -154,6 +154,24 @@ class MPConv(nn.Module):
         sel = jnp.asarray(_pack_sel(kw, cross, p), x.dtype)
         w_exp = jnp.einsum("yxio,xwab->ywaibo", whwio, sel).reshape(
             kh, cross, p * self.in_channels, p * self.out_channels)
+        import os
+        if os.environ.get("DD_PACKED_CONV_MATMUL", "1") != "0":
+            # per-tap matmuls instead of conv_general_dilated: XLA's
+            # spatial conv lowering materialized ~25 GB/forward of
+            # pad/select/copy ops on the DDEC's level-0 blocks (profiled;
+            # see _grouped_conv's identical finding for grouped convs) —
+            # a (kh * cross)-term sum of plain dots avoids that entirely
+            b, h, wp, k = x.shape
+            xp = jnp.pad(x, [(0, 0), (kh // 2, kh // 2),
+                             (cross // 2, cross // 2), (0, 0)])
+            out = None
+            for dy in range(kh):
+                for dx in range(cross):
+                    xs = xp[:, dy:dy + h, dx:dx + wp, :]
+                    part = jnp.einsum("bhwi,io->bhwo", xs, w_exp[dy, dx],
+                                      preferred_element_type=x.dtype)
+                    out = part if out is None else out + part
+            return out
         pads = [(kh // 2, kh // 2), (cross // 2, cross // 2)]
         dn = jax.lax.conv_dimension_numbers(x.shape, w_exp.shape,
                                             ("NHWC", "HWIO", "NHWC"))
