@@ -191,6 +191,13 @@ class MPConv(nn.Module):
             return self._grouped_conv(x, w, grouped_in=grouped_in,
                                       grouped_out=grouped_out)
         assert not (grouped_in or grouped_out), "requires groups > 1"
+        if (self.stride == 1 and all(k == 1 for k in self.kernel)
+                and self.w_pad_mode != "reflect"):
+            # 1x1[x1] conv == matmul over the channel dim (skip projections,
+            # latent in/out convs): keeps XLA out of the conv lowering's
+            # layout copies entirely
+            wk = w.reshape(w.shape[0], w.shape[1])  # (Co, Ci)
+            return jnp.einsum("...i,oi->...o", x, wk)
         if nd == 2:
             kh, kw = self.kernel
             # torch pads (k//2, k//2) on both sides
