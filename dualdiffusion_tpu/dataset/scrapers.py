@@ -144,3 +144,180 @@ def scrape_joshw(system: str, output_dir: str,
             urllib.request.urlretrieve(f"{base}/{link}", dest)
         out.append(str(dest))
     return out
+
+
+# ---------------------------------------------------------------------------
+# SPC (SNES-SPC700) length / fade tag fixing
+# ---------------------------------------------------------------------------
+# Emulator-ripped SPC files often carry absurdly short play lengths, which
+# makes the transcoded FLACs truncate mid-song. The reference bulk-edits the
+# length/fade fields in place before transcoding
+# (reference: src/dataset/utils/spc_fix.py:64-262). This is a clean-room
+# reimplementation of the same public file format:
+#   * header "SNES-SPC700 Sound File Data" at offset 0; byte 35 == 26/27
+#     marks an id666 tag whose song-length (seconds) lives at offset 169
+#     (3 ASCII digits, or 3-byte LE int in the binary variant) and fade
+#     (milliseconds) at 172 (5 ASCII digits / 4-byte LE int).
+#   * optional extended "xid6" chunk (usually at 66048): 4-byte size then
+#     (id, type, size) subchunks; ids 48/49/50/51 hold intro/loop/end/fade
+#     lengths in 1/64000 s ticks (type-0 subchunks store the value in the
+#     size field).
+#   * optional APEv2 tag ("APETAGEX", version 2000): items of
+#     (size, flags, NUL-terminated key, value); keys "spc_length" (ms)
+#     and "spc_fade" (ms).
+
+_SPC_HEADER = b"SNES-SPC700 Sound File Data"
+
+
+def _spc_id666_is_binary(data: bytes) -> bool:
+    """Heuristics matching the reference: text id666 has a NUL at 176
+    (byte after the binary artist field), plausible ASCII length digits,
+    and sane binary-interpretation bounds."""
+    if data[176] != 0:
+        return True
+    if (int.from_bytes(data[169:172], "little") > 3600
+            or int.from_bytes(data[172:176], "little") > 30000):
+        return False
+    txt = data[169:172].split(b"\x00")[0].decode("utf-8", "replace")
+    return not (txt.isdigit() or txt == "")
+
+
+def spc_read_tags(path: str) -> Dict[str, Optional[int]]:
+    """Read every length/fade field of an SPC file (seconds / ms)."""
+    data = Path(path).read_bytes()
+    if not data.startswith(_SPC_HEADER):
+        raise ValueError(f"{path}: not an SPC file")
+    out: Dict[str, Optional[int]] = {
+        "length_s": None, "fade_ms": None, "xid6_fade_ms": None,
+        "apev2_length_s": None, "apev2_fade_ms": None,
+    }
+    if data[35] in (26, 27):
+        if _spc_id666_is_binary(data):
+            out["length_s"] = int.from_bytes(data[169:172], "little")
+            out["fade_ms"] = int.from_bytes(data[172:176], "little")
+        else:
+            try:
+                out["length_s"] = int(data[169:172].split(b"\x00")[0] or b"0")
+                f = data[172:177].split(b"\x00")[0]
+                out["fade_ms"] = int(f) if f else 0
+            except ValueError:
+                pass
+    for key, _, val_off, size, binary in _spc_iter_aux_fields(data):
+        if key == "xid6_fade":
+            out["xid6_fade_ms"] = int.from_bytes(
+                data[val_off:val_off + 4], "little") // 64
+        elif key == "apev2_spc_length" and size > 0:
+            out["apev2_length_s"] = int(data[val_off:val_off + size]
+                                        .split(b"\x00")[0]) // 1000
+        elif key == "apev2_spc_fade" and size > 0:
+            out["apev2_fade_ms"] = int(data[val_off:val_off + size]
+                                       .split(b"\x00")[0])
+    return out
+
+
+def _spc_iter_aux_fields(data: bytes):
+    """Yield (key, field_offset, value_offset, size, is_binary) for the
+    xid6 fade subchunk and APEv2 spc_length/spc_fade items."""
+    # xid6 chunk: standard location 66048, else scan
+    pos = 66048 if data[66048:66052] == b"xid6" else data.find(b"xid6")
+    if pos >= 0 and data[pos:pos + 4] == b"xid6":
+        size = int.from_bytes(data[pos + 4:pos + 8], "little") // 4 * 4
+        p, end = pos + 8, pos + 8 + size
+        while p + 4 <= min(end, len(data)):
+            sub_id, sub_type = data[p], data[p + 1]
+            sub_size = int.from_bytes(data[p + 2:p + 4], "little")
+            sub_size = 0 if sub_type == 0 else sub_size // 4 * 4
+            if p + 4 + sub_size > len(data):
+                break
+            if sub_id == 51 and sub_size >= 4:   # fadeout, 1/64000 s ticks
+                yield "xid6_fade", p, p + 4, 4, True
+            p += 4 + sub_size
+    # APEv2 tag
+    pos = data.find(b"APETAGEX")
+    if pos >= 0 and int.from_bytes(data[pos + 8:pos + 12], "little") == 2000:
+        count = int.from_bytes(data[pos + 16:pos + 20], "little")
+        p = pos + 32
+        for _ in range(count):
+            if p + 8 > len(data):
+                break
+            item_size = int.from_bytes(data[p:p + 4], "little")
+            key_end = data.find(b"\x00", p + 8)
+            if key_end < 0:
+                break
+            key = data[p + 8:key_end].decode("utf-8", "replace").lower()
+            val_off = key_end + 1
+            if key in ("spc_length", "spc_fade"):
+                yield f"apev2_{key}", p, val_off, item_size, False
+            p = val_off + item_size
+
+
+def spc_fix(path: str, ignore_under_s: int = 18, min_length_s: int = 50,
+            fade_ms: Optional[int] = 0) -> bool:
+    """Raise too-short SPC play lengths to ``min_length_s`` and optionally
+    rewrite every fade field to ``fade_ms``; returns True if modified.
+
+    Lengths under ``ignore_under_s`` (jingles) are left alone, except an
+    explicit 0 which is treated as missing and raised. All three tag
+    locations (id666, xid6, APEv2) are kept consistent.
+    (Reference behavior: src/dataset/utils/spc_fix.py:222-246.)
+    """
+    p = Path(path)
+    data = bytearray(p.read_bytes())
+    if not data.startswith(_SPC_HEADER):
+        raise ValueError(f"{path}: not an SPC file")
+    tags = spc_read_tags(path)
+    changed = False
+
+    def put_text(off: int, width: int, value: int) -> None:
+        s = str(value).encode()
+        assert len(s) <= width, (value, width)
+        data[off:off + width] = s.ljust(width, b"\x00")
+
+    if data[35] in (26, 27) and tags["length_s"] is not None:
+        binary = _spc_id666_is_binary(bytes(data))
+        L = tags["length_s"]
+        if (L == 0 or L >= ignore_under_s) and L < min_length_s:
+            if binary:
+                data[169:172] = int(min_length_s).to_bytes(3, "little")
+            else:
+                put_text(169, 3, min_length_s)
+            changed = True
+        if fade_ms is not None and tags["fade_ms"] not in (None, fade_ms):
+            if binary:
+                data[172:176] = int(fade_ms).to_bytes(4, "little")
+            else:
+                put_text(172, 5, fade_ms)
+            changed = True
+    for key, _, val_off, size, _bin in _spc_iter_aux_fields(bytes(data)):
+        if key == "xid6_fade" and fade_ms is not None \
+                and tags["xid6_fade_ms"] not in (None, fade_ms):
+            data[val_off:val_off + 4] = (fade_ms * 64).to_bytes(4, "little")
+            changed = True
+        elif key == "apev2_spc_length" and size > 0:
+            L = tags["apev2_length_s"]
+            if L is not None and ignore_under_s <= L < min_length_s:
+                put_text(val_off, size, min_length_s * 1000)
+                changed = True
+        elif key == "apev2_spc_fade" and size > 0 and fade_ms is not None \
+                and tags["apev2_fade_ms"] not in (None, fade_ms):
+            put_text(val_off, size, fade_ms)
+            changed = True
+    if changed:
+        p.write_bytes(bytes(data))
+    return changed
+
+
+def spc_fix_tree(root: str, ignore_under_s: int = 18,
+                 min_length_s: int = 50, fade_ms: Optional[int] = 0
+                 ) -> Tuple[int, int]:
+    """Apply :func:`spc_fix` to every .spc under ``root``; returns
+    (processed, modified) counts."""
+    processed = modified = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.lower().endswith(".spc"):
+                modified += int(spc_fix(os.path.join(dirpath, f),
+                                        ignore_under_s, min_length_s,
+                                        fade_ms))
+                processed += 1
+    return processed, modified

@@ -200,3 +200,83 @@ def test_aggregate_embeddings_stage(tmp_path, rng):
     assert emb.shape == (1, 16)
     uncond = pipe.get_prompt_embedding({})
     assert uncond is not None
+
+
+def _make_spc(length_field: bytes, fade_field: bytes, binary_artist: bool,
+              xid6_fade_ticks=None, apev2=None) -> bytes:
+    """Synthesize a minimal SPC file with the given id666 fields."""
+    data = bytearray(b"\x00" * 66048)
+    data[0:27] = b"SNES-SPC700 Sound File Data"
+    data[35] = 26
+    data[169:169 + len(length_field)] = length_field
+    data[172:172 + len(fade_field)] = fade_field
+    if binary_artist:
+        data[176] = 7  # non-NUL byte after the binary artist field
+    if xid6_fade_ticks is not None:
+        sub = bytes([51, 1]) + (4).to_bytes(2, "little") \
+            + int(xid6_fade_ticks).to_bytes(4, "little")
+        data += b"xid6" + len(sub).to_bytes(4, "little") + sub
+    if apev2 is not None:
+        items = b""
+        n = 0
+        for key, val in apev2.items():
+            v = str(val).encode()
+            items += (len(v).to_bytes(4, "little") + b"\x00" * 4
+                      + key.encode() + b"\x00" + v)
+            n += 1
+        data += (b"APETAGEX" + (2000).to_bytes(4, "little")
+                 + len(items).to_bytes(4, "little") + n.to_bytes(4, "little")
+                 + b"\x00" * 12 + items)
+    return bytes(data)
+
+
+def test_spc_fix_text_and_binary_id666(tmp_path):
+    """Too-short lengths raised to the minimum, jingles left alone, fade
+    rewritten — in both id666 encodings (reference spc_fix.py semantics)."""
+    from dualdiffusion_tpu.dataset.scrapers import spc_fix, spc_read_tags
+
+    # text id666: 30 s song, 8000 ms fade -> raised to 50 s, fade zeroed
+    p = tmp_path / "a.spc"
+    p.write_bytes(_make_spc(b"30\x00", b"8000\x00", binary_artist=False))
+    assert spc_fix(str(p), min_length_s=50, fade_ms=0)
+    t = spc_read_tags(str(p))
+    assert t["length_s"] == 50 and t["fade_ms"] == 0
+
+    # binary id666 (length 30, fade 8000 LE ints)
+    p2 = tmp_path / "b.spc"
+    p2.write_bytes(_make_spc((30).to_bytes(3, "little"),
+                             (8000).to_bytes(4, "little"),
+                             binary_artist=True))
+    assert spc_fix(str(p2), min_length_s=50, fade_ms=0)
+    t2 = spc_read_tags(str(p2))
+    assert t2["length_s"] == 50 and t2["fade_ms"] == 0
+
+    # a 10 s jingle is under ignore_under_s=18: untouched
+    p3 = tmp_path / "c.spc"
+    p3.write_bytes(_make_spc(b"10\x00", b"0\x00\x00\x00\x00",
+                             binary_artist=False))
+    assert not spc_fix(str(p3), min_length_s=50, fade_ms=None)
+    assert spc_read_tags(str(p3))["length_s"] == 10
+
+
+def test_spc_fix_xid6_and_apev2(tmp_path):
+    """The xid6 fade subchunk (ticks) and APEv2 spc_length/spc_fade items
+    are kept consistent with the rewritten id666 fields."""
+    from dualdiffusion_tpu.dataset.scrapers import (spc_fix, spc_fix_tree,
+                                                    spc_read_tags)
+    p = tmp_path / "d.spc"
+    p.write_bytes(_make_spc(b"30\x00", b"8000\x00", binary_artist=False,
+                            xid6_fade_ticks=8000 * 64,
+                            apev2={"spc_length": 30000, "spc_fade": 8000}))
+    t0 = spc_read_tags(str(p))
+    assert t0["xid6_fade_ms"] == 8000 and t0["apev2_length_s"] == 30
+    assert spc_fix(str(p), min_length_s=50, fade_ms=100)
+    t = spc_read_tags(str(p))
+    assert t["length_s"] == 50 and t["fade_ms"] == 100
+    assert t["xid6_fade_ms"] == 100
+    assert t["apev2_length_s"] == 50 and t["apev2_fade_ms"] == 100
+
+    # idempotent: second run is a no-op
+    assert not spc_fix(str(p), min_length_s=50, fade_ms=100)
+    proc, mod = spc_fix_tree(str(tmp_path), min_length_s=50, fade_ms=100)
+    assert proc >= 1 and mod == 0
