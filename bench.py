@@ -73,7 +73,8 @@ def build_configs(name: str, args):
         dae_cfg = DAEConfig(model_channels=64, channel_mult_enc=(1, 2, 4, 8),
                             channel_mult_dec=(1, 2, 4, 8),
                             num_enc_layers_per_block=2,
-                            num_dec_layers_per_block=2, latent_channels=4)
+                            num_dec_layers_per_block=2, latent_channels=4,
+                            w_pack_channels=128)
         unet_cfg = UNetConfig(in_channels=4, out_channels=4,
                               in_channels_emb=1024,
                               model_channels=256, channel_mult=(1, 2, 3, 4, 5),
@@ -90,7 +91,8 @@ def build_configs(name: str, args):
         dae_cfg = DAEConfig(model_channels=64, channel_mult_enc=(1, 2, 4, 8),
                             channel_mult_dec=(1, 2, 4, 8),
                             num_enc_layers_per_block=2,
-                            num_dec_layers_per_block=2, latent_channels=8)
+                            num_dec_layers_per_block=2, latent_channels=8,
+                            w_pack_channels=128)
         unet_cfg = UNetConfig(in_channels=8, out_channels=8,
                               in_channels_emb=1024,
                               model_channels=64, channel_mult=(1, 2, 3, 4),

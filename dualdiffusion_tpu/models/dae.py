@@ -60,6 +60,10 @@ class DAEConfig:
     # compute dtype for conv activations (fp32 io; the reference trains
     # bf16 via torch autocast, trainer.py:336-338)
     compute_dtype: str = "bfloat16"
+    #: W-packing layout optimization for low-channel levels (exact
+    #: semantics; see UNetConfig.w_pack_channels): fold W so each level
+    #: runs at >= this many channels. 0 disables.
+    w_pack_channels: int = 0
 
 
 class DAEBlock(nn.Module):
@@ -73,15 +77,31 @@ class DAEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray] = None,
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False, w_pack: int = 1) -> jnp.ndarray:
+        """``w_pack``: W-packing factor (layout only, exact semantics —
+        see UNetBlock). 'keep' blocks receive/return packed tensors;
+        'up'/'down' blocks receive UNPACKED input, resample, then pack."""
         cfg = self.cfg
-        x = resample_2d(x, mode=self.resample_mode)
+        wp = w_pack
+        assert wp == 1 or cfg.mlp_groups == 1, \
+            "W-packing requires ungrouped DAE blocks"
+        if wp > 1 and self.resample_mode == "keep":
+            pass                                   # already packed
+        else:
+            x = resample_2d(x, mode=self.resample_mode)
+            if wp > 1:
+                from .unet import _pack_w
+                x = _pack_w(x, wp)
         if self.flavor == "enc":
             if self.in_channels != self.out_channels:
                 x = MPConv(self.in_channels, self.out_channels, (1, 1),
-                           name="conv_skip")(x, training=training)
+                           name="conv_skip")(x, training=training, w_pack=wp)
             if cfg.add_pixel_norm:
-                x = normalize(x, axis=-1)
+                if wp > 1:
+                    from .unet import _packed_pixel_norm
+                    x = _packed_pixel_norm(x, wp)
+                else:
+                    x = normalize(x, axis=-1)
 
         c_mid = self.out_channels * cfg.mlp_multiplier
         c_in0 = self.out_channels if self.flavor == "enc" else self.in_channels
@@ -89,21 +109,28 @@ class DAEBlock(nn.Module):
         # (reference dae_edm2_q4.py:180 applies conv_res0 to x directly;
         # the only mid-block activation is the normalized mp_silu below)
         y = MPConv(c_in0, c_mid, (3, 3), groups=cfg.mlp_groups,
-                   name="conv_res0")(x, training=training)
+                   name="conv_res0")(x, training=training, w_pack=wp)
 
         if self.emb_channels > 0 and emb is not None:
             emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
             c = MPConv(self.emb_channels, c_mid, (), groups=cfg.emb_linear_groups,
                        name="emb_linear")(emb, gain=emb_gain, training=training) + 1.0
+            if wp > 1:  # per-channel gain tiles over pack positions
+                c = jnp.tile(c, (1, wp))
             y = y * c[:, None, None, :].astype(y.dtype)
 
-        y = mp_silu(normalize_groups(y, groups=cfg.mlp_groups))
+        if wp > 1:
+            # unit-RMS norm over each packed position's TRUE channels
+            y5 = y.reshape(y.shape[:-1] + (wp, c_mid))
+            y = mp_silu(normalize(y5, axis=-1)).reshape(y.shape)
+        else:
+            y = mp_silu(normalize_groups(y, groups=cfg.mlp_groups))
         y = MPConv(c_mid, self.out_channels, (3, 3), groups=cfg.mlp_groups,
-                   name="conv_res1")(y, training=training)
+                   name="conv_res1")(y, training=training, w_pack=wp)
 
         if self.flavor == "dec" and self.in_channels != self.out_channels:
             x = MPConv(self.in_channels, self.out_channels, (1, 1),
-                       name="conv_skip")(x, training=training)
+                       name="conv_skip")(x, training=training, w_pack=wp)
         x = mp_sum(x, y, t=cfg.res_balance)
         if cfg.clip_act is not None:
             x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
@@ -199,12 +226,48 @@ class DAE(nn.Module):
         return (b, h * ds, w * ds, self.cfg.out_channels)
 
     # ---- core ---------------------------------------------------------------
+    def _pack_factor(self, channels: int, w: int) -> int:
+        """W-packing factor for one block (layout only, exact semantics;
+        see DAEConfig.w_pack_channels / UNetCore._pack_factor)."""
+        cfg = self.cfg
+        if cfg.w_pack_channels <= 0 or cfg.mlp_groups > 1:
+            return 1
+        p = max(cfg.w_pack_channels // channels, 1)
+        while p > 1 and w % p != 0:
+            p //= 2
+        return p
+
+    def _run_blocks(self, blocks, x: jnp.ndarray,
+                    embeddings: Optional[jnp.ndarray],
+                    training: bool) -> jnp.ndarray:
+        """Apply a block list with per-block W-packing (pack/unpack are
+        free reshapes; x is unpacked at every boundary)."""
+        from .unet import _pack_w, _unpack_w
+        for block in blocks:
+            w = x.shape[2]
+            if block.resample_mode == "down":
+                w //= 2
+            elif block.resample_mode == "up":
+                w *= 2
+            p = self._pack_factor(block.out_channels, w)
+            if p > 1 and block.resample_mode == "keep":
+                x = _pack_w(x, p)
+            x = _unpack_w(block(x, embeddings, training=training, w_pack=p),
+                          p)
+        return x
+
     def encode(self, x: jnp.ndarray, embeddings: Optional[jnp.ndarray] = None,
                training: bool = False) -> jnp.ndarray:
+        from .unet import _pack_w, _unpack_w
         x = x.astype(jnp.dtype(self.cfg.compute_dtype))
-        x = self.conv_in(x, training=training)
-        for block in self.enc:
-            x = block(x, embeddings, training=training)
+        # 5x5 io convs need pack reach 2p+1 >= kw, i.e. p >= 2
+        p_in = self._pack_factor(self.conv_in.out_channels, x.shape[2])
+        if 2 * p_in + 1 >= self.conv_in.kernel[-1] and p_in > 1:
+            x = _unpack_w(self.conv_in(_pack_w(x, p_in), training=training,
+                                       w_pack=p_in), p_in)
+        else:
+            x = self.conv_in(x, training=training)
+        x = self._run_blocks(self.enc, x, embeddings, training)
         latents = self.conv_latents_out(x, training=training).astype(jnp.float32)
         if self.cfg.supersampled and self.downsample_ratio > 1:
             # supersampled-latent: pool AFTER projection (dae_edm2_d3.py:349)
@@ -235,11 +298,18 @@ class DAE(nn.Module):
 
     def decode(self, latents: jnp.ndarray, embeddings: Optional[jnp.ndarray] = None,
                training: bool = False) -> jnp.ndarray:
+        from .unet import _pack_w, _unpack_w
         x = latents.astype(jnp.dtype(self.cfg.compute_dtype))
         x = self.conv_latents_in(x, training=training)
-        for block in self.dec:
-            x = block(x, embeddings, training=training)
-        out = self.conv_out(x, gain=self.out_gain, training=training)
+        x = self._run_blocks(self.dec, x, embeddings, training)
+        p_out = self._pack_factor(self.conv_out.in_channels, x.shape[2])
+        if 2 * p_out + 1 >= self.conv_out.kernel[-1] and p_out > 1:
+            out = _unpack_w(self.conv_out(_pack_w(x, p_out),
+                                          gain=self.out_gain,
+                                          training=training, w_pack=p_out),
+                            p_out)
+        else:
+            out = self.conv_out(x, gain=self.out_gain, training=training)
         return out.astype(jnp.float32)
 
     def __call__(self, samples: jnp.ndarray,

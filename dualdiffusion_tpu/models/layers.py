@@ -168,10 +168,13 @@ class MPConv(nn.Module):
             for dy in range(kh):
                 for dx in range(cross):
                     xs = xp[:, dy:dy + h, dx:dx + wp, :]
+                    # fp32 tap accumulation: matches the fused-conv
+                    # lowering's MXU accumulator (bf16 tap sums cost ~1%
+                    # relative error over deep stacks)
                     part = jnp.einsum("bhwi,io->bhwo", xs, w_exp[dy, dx],
-                                      preferred_element_type=x.dtype)
+                                      preferred_element_type=jnp.float32)
                     out = part if out is None else out + part
-            return out
+            return out.astype(x.dtype)
         pads = [(kh // 2, kh // 2), (cross // 2, cross // 2)]
         dn = jax.lax.conv_dimension_numbers(x.shape, w_exp.shape,
                                             ("NHWC", "HWIO", "NHWC"))

@@ -285,3 +285,39 @@ def test_w_packed_unet_matches_unpacked(key):
     # and a tighter relative check on overall energy
     rel = float(jnp.abs(y0 - y1).mean() / (jnp.abs(y0).mean() + 1e-9))
     assert rel < 2e-3, rel
+
+
+def test_w_packed_dae_matches_unpacked(key):
+    """DAEConfig.w_pack_channels is a pure layout optimization: identical
+    param tree, encode/decode outputs equal to the unpacked model."""
+    import dataclasses
+    from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+    # strict structural parity in fp32 (exact math, no rounding noise)
+    base = DAEConfig(model_channels=16, channel_mult_enc=(1, 2, 4),
+                     channel_mult_dec=(1, 2, 4), num_enc_layers_per_block=1,
+                     num_dec_layers_per_block=1, latent_channels=4,
+                     compute_dtype="float32")
+    packed_cfg = dataclasses.replace(base, w_pack_channels=64)
+    m0, m1 = DAE(base), DAE(packed_cfg)
+    x = jax.random.normal(key, (1, 32, 64, 2))
+    v0 = m0.init(key, x)
+    v1 = m1.init(key, x)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)):
+        assert a.shape == b.shape
+
+    lat0 = m0.apply(v0, x, method=DAE.encode)
+    lat1 = m1.apply(v0, x, method=DAE.encode)  # SAME params, packed path
+    assert float(jnp.abs(lat0 - lat1).max()) < 1e-4
+    y0 = m0.apply(v0, lat0, method=DAE.decode)
+    y1 = m1.apply(v0, lat0, method=DAE.decode)
+    assert float(jnp.abs(y0 - y1).max()) < 1e-4
+
+    # bf16 production dtype: ulp-level divergence amplified by the
+    # mid-block RMS normalize — sanity-bound the relative error only
+    mb0 = DAE(dataclasses.replace(base, compute_dtype="bfloat16"))
+    mb1 = DAE(dataclasses.replace(packed_cfg, compute_dtype="bfloat16"))
+    latb0 = mb0.apply(v0, x, method=DAE.encode)
+    latb1 = mb1.apply(v0, x, method=DAE.encode)
+    rel = float(jnp.abs(latb0 - latb1).mean() / (jnp.abs(latb0).mean() + 1e-9))
+    assert rel < 2e-2, rel
