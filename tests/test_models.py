@@ -321,3 +321,34 @@ def test_w_packed_dae_matches_unpacked(key):
     latb1 = mb1.apply(v0, x, method=DAE.encode)
     rel = float(jnp.abs(latb0 - latb1).mean() / (jnp.abs(latb0).mean() + 1e-9))
     assert rel < 2e-2, rel
+
+
+def test_w_packed_dae_grad_parity(key):
+    """Gradients through the packed layout match the unpacked model in
+    fp32 (the DAE trainer differentiates through these convs when
+    w_pack_channels is configured)."""
+    import dataclasses
+    from dualdiffusion_tpu.models.dae import DAE, DAEConfig
+    base = DAEConfig(model_channels=16, channel_mult_enc=(1, 2),
+                     channel_mult_dec=(1, 2), num_enc_layers_per_block=1,
+                     num_dec_layers_per_block=1, latent_channels=4,
+                     compute_dtype="float32")
+    m0 = DAE(base)
+    m1 = DAE(dataclasses.replace(base, w_pack_channels=64))
+    x = jax.random.normal(key, (1, 16, 32, 2))
+    v0 = m0.init(key, x)
+
+    def loss(m):
+        def f(params):
+            v = {**v0, "params": params}
+            lat = m.apply(v, x, method=DAE.encode)
+            return jnp.mean(jnp.square(m.apply(v, lat, method=DAE.decode) - x))
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(v0["params"])
+    l1, g1 = jax.value_and_grad(loss(m1))(v0["params"])
+    assert abs(float(l0 - l1)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
