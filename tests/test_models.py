@@ -56,6 +56,7 @@ def test_unet_3d_with_attention(key):
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())
 
 
+@pytest.mark.slow
 def test_unet_label_embeddings_cfg(key):
     cfg = tiny_unet_cfg(in_channels_emb=32)
     model = UNet(cfg)
@@ -147,6 +148,7 @@ def test_dae_roundtrip_shapes(key):
     assert float(jnp.abs(mutated["stats"]["latents_mean"]).sum()) >= 0
 
 
+@pytest.mark.slow
 def test_dae_encode_decode_methods(key):
     cfg = tiny_dae_cfg()
     model = DAE(cfg)
@@ -256,6 +258,7 @@ def test_remat_blocks_same_loss_and_grads():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_w_packed_unet_matches_unpacked(key):
     """UNetConfig.w_pack_channels is a pure layout optimization: identical
     param tree, outputs equal to the unpacked model (layers.py
@@ -287,6 +290,7 @@ def test_w_packed_unet_matches_unpacked(key):
     assert rel < 2e-3, rel
 
 
+@pytest.mark.slow
 def test_w_packed_dae_matches_unpacked(key):
     """DAEConfig.w_pack_channels is a pure layout optimization: identical
     param tree, encode/decode outputs equal to the unpacked model."""
@@ -323,6 +327,7 @@ def test_w_packed_dae_matches_unpacked(key):
     assert rel < 2e-2, rel
 
 
+@pytest.mark.slow
 def test_w_packed_dae_grad_parity(key):
     """Gradients through the packed layout match the unpacked model in
     fp32 (the DAE trainer differentiates through these convs when

@@ -47,6 +47,7 @@ def test_sliding_window_attention_masks(key):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vae_uniform_target_snr(key):
     cfg = VAEConfig(model_channels=8, channel_mult=(1, 2), latent_channels=4,
                     num_layers_per_block=1, label_dim=16, target_snr=32.0)

@@ -48,6 +48,7 @@ def make_pipeline(key):
     }, dataset_embeddings=emb_table)
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path, key):
     pipe = make_pipeline(key)
     pipe.save_pretrained(tmp_path / "model")
@@ -136,6 +137,7 @@ def test_generate_img2img_from_audio(key):
     assert out["debug"]["sample_std"].shape[0] == 1
 
 
+@pytest.mark.slow
 def test_generate_inpainting_substitutes_converted_unet(tmp_path, key):
     """Inpainting builds ref+mask channels and auto-substitutes the
     converted unet_inpainting module (which expects the extra in-channels —
@@ -188,6 +190,7 @@ def test_per_module_device_placement(key):
     assert bool(jnp.isfinite(out["raw"]).all())
 
 
+@pytest.mark.slow
 def test_generate_tensor_parallel_matches_single(key):
     """Pipeline.shard(2): the whole generate() path (sampler -> DAE
     decode -> FGLA) with tensor-parallel weights reproduces the
