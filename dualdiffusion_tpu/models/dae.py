@@ -162,7 +162,13 @@ class DAE(nn.Module):
         enc = []
         cin = enc_ch[0]
         self.conv_in = MPConv(cfg.in_channels, cin, (5, 5), use_bias=True)
-        for level in range(self.num_levels):
+        # the encoder's depth is its OWN mult list: a supersampled (d3)
+        # encoder may be a single full-resolution level while the decoder
+        # has the full hourglass (reference dae_edm2_d3.py: flat
+        # num_enc_layers encoder, pool after projection)
+        assert cfg.supersampled or len(enc_ch) == len(dec_ch), \
+            "asymmetric enc/dec levels require supersampled=True"
+        for level in range(len(enc_ch)):
             cout = enc_ch[level]
             if level > 0:
                 mode = "keep" if cfg.supersampled else "down"

@@ -57,3 +57,28 @@ def test_atomic_save(tmp_path):
     cfg.save_json({"v": 1}, p)
     assert cfg.load_json(p) == {"v": 1}
     assert not list(p.parent.glob("*.tmp"))
+
+
+def test_model_preset_configs_hydrate():
+    """Every preset under configs/models hydrates cleanly: each module
+    json maps onto its registered config dataclass with no unknown-field
+    warnings, and the module object constructs."""
+    import warnings
+    from pathlib import Path
+    from dualdiffusion_tpu.pipelines.pipeline import get_module_class
+    from dualdiffusion_tpu.utils.config import load_config, load_json
+
+    root = Path(__file__).parents[1] / "configs" / "models"
+    presets = sorted(p for p in root.iterdir() if p.is_dir())
+    assert len(presets) >= 4, presets
+    for preset in presets:
+        index = load_json(preset / "model_index.json")
+        for name, mtype in index["modules"].items():
+            factory, cfg_cls = get_module_class(mtype)
+            fname = "format.json" if mtype.startswith("format:") \
+                else f"{name}.json"
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # unknown fields fail
+                cfg = load_config(cfg_cls, preset / fname)
+            module = factory(cfg)
+            assert module is not None, (preset.name, name)

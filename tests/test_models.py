@@ -357,3 +357,18 @@ def test_w_packed_dae_grad_parity(key):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_dae_supersampled_asymmetric_encoder(key):
+    """d3-style: single full-resolution encoder level with a multi-level
+    decoder (reference dae_edm2_d3.py — flat encoder, pool after
+    projection). Round-trip shapes must follow the DECODER's ratio."""
+    cfg = tiny_dae_cfg(channel_mult_enc=(1,), channel_mult_dec=(1, 2, 4),
+                       num_enc_layers_per_block=3, supersampled=True)
+    model = DAE(cfg)
+    x = jax.random.normal(key, (1, 32, 64, 2))
+    v = model.init(key, x)
+    lat = model.apply(v, x, method=DAE.encode)
+    assert lat.shape == (1, 8, 16, 4)   # ratio 4 from the 3-level decoder
+    y = model.apply(v, lat, method=DAE.decode)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
