@@ -34,6 +34,7 @@ Usage: python bench.py [--small|--ref-scale|--flagship-only] [--ddec]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -354,7 +355,22 @@ def main():
     from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
     from dualdiffusion_tpu.utils.perf import device_peaks
     cache_dir = enable_compilation_cache()
-    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+
+    # backend-init watchdog: a wedged TPU tunnel blocks jax.devices()
+    # forever with zero output — fail fast with a diagnosable line instead
+    import threading
+    devs: list = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("DD_BACKEND_INIT_TIMEOUT", "300")))
+    if not devs:
+        print(json.dumps({"metric": "e2e_45s_clip_seconds", "value": None,
+                          "unit": "s", "error": "TPU backend init timed "
+                          "out (tunnel down?) — no measurement possible"}),
+              flush=True)
+        os._exit(3)
+    log(f"backend={jax.default_backend()} devices={devs} "
         f"compile_cache={cache_dir}")
 
     # fastest MXU precision for the matmul-DFT stages (FGLA quality is
