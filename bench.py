@@ -247,6 +247,18 @@ def run_config(name: str, args, ddec_stage=None):
     log(f"[{name}] stage compiles: sampler {samp_sec:.1f}s, "
         f"dae {dae_sec:.1f}s, fgla {fgla_sec:.1f}s")
 
+    # chained e2e, device-resident intermediates, one sync at the end
+    def e2e_fgla(k):
+        k1, k2 = jax.random.split(k)
+        return fgla_c(dae_c(samp_c(k1, uvars), dvars), k2)
+
+    # first_call window = imports+compiles+the one pipeline-priming run of
+    # each stage above+this warm e2e — and NOTHING else; the per-stage
+    # steady-state timing loops below must stay outside it or warm-cache
+    # compile comparisons across rounds are overstated by several runs.
+    out = np.asarray(e2e_fgla(jax.random.PRNGKey(1)))   # warm
+    first_call = time.time() - t_first0
+
     stages = {}
     _, t_samp = _timed_call(samp_c, key, uvars)
     # XLA's cost model counts a lax.scan body ONCE — scale by the trip
@@ -270,13 +282,6 @@ def run_config(name: str, args, ddec_stage=None):
         peaks=peaks)
     stages["fgla_decode"]["cost_model"] = "analytic"
 
-    # chained e2e, device-resident intermediates, one sync at the end
-    def e2e_fgla(k):
-        k1, k2 = jax.random.split(k)
-        return fgla_c(dae_c(samp_c(k1, uvars), dvars), k2)
-
-    out = np.asarray(e2e_fgla(jax.random.PRNGKey(1)))   # warm
-    first_call = time.time() - t_first0
     t0 = time.time()
     out = np.asarray(e2e_fgla(jax.random.PRNGKey(2)))
     e2e_sec = time.time() - t0
@@ -354,10 +359,11 @@ def main():
     import jax
     from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
     from dualdiffusion_tpu.utils.perf import device_peaks
-    cache_dir = enable_compilation_cache()
 
-    # backend-init watchdog: a wedged TPU tunnel blocks jax.devices()
-    # forever with zero output — fail fast with a diagnosable line instead
+    # backend-init watchdog FIRST: a wedged TPU tunnel blocks the first
+    # backend touch (jax.devices / jax.default_backend — the latter is
+    # also the first call inside enable_compilation_cache) forever with
+    # zero output — fail fast with a diagnosable line instead.
     import threading
     devs: list = []
     t = threading.Thread(target=lambda: devs.extend(jax.devices()),
@@ -370,6 +376,7 @@ def main():
                           "out (tunnel down?) — no measurement possible"}),
               flush=True)
         os._exit(3)
+    cache_dir = enable_compilation_cache()
     log(f"backend={jax.default_backend()} devices={devs} "
         f"compile_cache={cache_dir}")
 

@@ -170,16 +170,19 @@ _SPC_HEADER = b"SNES-SPC700 Sound File Data"
 
 
 def _spc_id666_is_binary(data: bytes) -> bool:
-    """Heuristics matching the reference: text id666 has a NUL at 176
-    (byte after the binary artist field), plausible ASCII length digits,
-    and sane binary-interpretation bounds."""
-    if data[176] != 0:
-        return True
+    """Heuristics matching the reference (spc_fix.py:92-116), applied in
+    the reference's ORDER: the byte-176 guess first (in the text layout
+    176 is the 5th fade digit, so a >=10000 ms text fade trips it), then
+    the binary-bounds sanity check that rescues such files (any 3 ASCII
+    digits at 169 read as a LE int >> 3600), then the ASCII-digit test."""
+    binary = data[176] != 0
     if (int.from_bytes(data[169:172], "little") > 3600
             or int.from_bytes(data[172:176], "little") > 30000):
-        return False
+        binary = False
     txt = data[169:172].split(b"\x00")[0].decode("utf-8", "replace")
-    return not (txt.isdigit() or txt == "")
+    if not (txt.isdigit() or txt == ""):
+        binary = True
+    return binary
 
 
 def spc_read_tags(path: str) -> Dict[str, Optional[int]]:
@@ -218,8 +221,11 @@ def spc_read_tags(path: str) -> Dict[str, Optional[int]]:
 def _spc_iter_aux_fields(data: bytes):
     """Yield (key, field_offset, value_offset, size, is_binary) for the
     xid6 fade subchunk and APEv2 spc_length/spc_fade items."""
-    # xid6 chunk: standard location 66048, else scan
-    pos = 66048 if data[66048:66052] == b"xid6" else data.find(b"xid6")
+    # xid6 chunk: standard location 66048, else scan — but only PAST the
+    # fixed-size header + SPC700 RAM image (0..66048), which is program /
+    # sample data and can contain the bytes "xid6" by chance; a false
+    # match there would make spc_fix overwrite music data in place.
+    pos = 66048 if data[66048:66052] == b"xid6" else data.find(b"xid6", 66048)
     if pos >= 0 and data[pos:pos + 4] == b"xid6":
         size = int.from_bytes(data[pos + 4:pos + 8], "little") // 4 * 4
         p, end = pos + 8, pos + 8 + size

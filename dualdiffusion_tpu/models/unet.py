@@ -458,7 +458,12 @@ class UNetCore(nn.Module):
                               p)
                 skips.append(x)
             elif kind == "enc_down":
-                p = self._pack_factor(level, channels, x.shape[w_axis] // 2)
+                # the down block runs at the PREVIOUS level's channel count
+                # (cin == cout, the transition is in the first layer block)
+                # — pack by the channels it actually runs at, not the new
+                # level's larger count, or low-channel down blocks stay
+                # half-empty on the 128-lane dim
+                p = self._pack_factor(level, cin, x.shape[w_axis] // 2)
                 x = _unpack_w(mod(x, emb, training, p), p)
                 skips.append(x)
             elif kind == "enc_layer":
@@ -469,7 +474,10 @@ class UNetCore(nn.Module):
                 p = self._pack_factor(level, channels, x.shape[w_axis])
                 x = _unpack_w(mod(_pack_w(x, p), emb, training, p), p)
             elif kind == "dec_up":
-                p = self._pack_factor(level, channels, x.shape[w_axis] * 2)
+                # ditto: the up block runs at the DEEPER level's channel
+                # count (cin == cout); using the new level's smaller count
+                # would over-pack
+                p = self._pack_factor(level, cin, x.shape[w_axis] * 2)
                 x = _unpack_w(mod(x, emb, training, p), p)
             elif kind == "dec_layer":
                 skip_x = skips.pop()
@@ -554,6 +562,16 @@ class UNetCore(nn.Module):
                  x_ref: Optional[jnp.ndarray] = None,
                  training: bool = False,
                  ln_freqs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        div = 1 << (len(cfg.channel_mult) - 1)
+        h, w = x_in.shape[-3], x_in.shape[-2]
+        if h % div or w % div:
+            # fail with a readable message here instead of a reshape /
+            # mp_cat shape mismatch deep inside a W-packed skip connection
+            raise ValueError(
+                f"UNet input H,W=({h},{w}) must be divisible by {div} "
+                f"(2^(levels-1), {len(cfg.channel_mult)} levels) so skip "
+                f"widths match across down/up resampling")
         x, emb, c_skip, c_out = self.precondition(x_in, sigma, embeddings,
                                                   x_ref, training, ln_freqs)
         x, _ = self.run_ops(x, emb, [], training=training)

@@ -429,6 +429,9 @@ def _make_handler(ui: UIState):
                 # tags, nicegui_elements.py rating controls +
                 # dual_diffusion_utils.update_audio_metadata)
                 parts = self.path.strip("/").split("/")
+                if len(parts) < 4:     # /api/output/<idx>/<action>
+                    self._json({"error": "bad path"}, 404)
+                    return
                 try:
                     o = ui.outputs[int(parts[2])]
                 except (IndexError, ValueError):

@@ -407,6 +407,13 @@ class Trainer:
         max_steps = max_steps or cfg.max_train_steps
         step_times: List[float] = []
         trigger = Path(cfg.model_path) / "_save_checkpoint" if cfg.model_path else None
+        if (self.ema_bank is not None and self.ema_bank.offloaded
+                and self.host_ema is None):
+            # seed host profiles from the PRE-training params so the first
+            # step's lerp runs like the in-graph EMABank.update (which is
+            # initialized from the init params, not post-step-1 params)
+            self.host_ema = self.ema_bank.host_init(
+                jax.device_get(self.state.params))
 
         while self.epoch < cfg.num_train_epochs:
             for batch in self.dataloader:
@@ -516,7 +523,9 @@ class Trainer:
         if bank is None or not bank.offloaded:
             return
         params_np = jax.device_get(self.state.params)
-        if self.host_ema is None:  # first step from scratch (no resume)
+        if self.host_ema is None:  # direct train_step driving (no train())
+            # seeded post-step: one lerp late vs the in-graph semantics;
+            # train() seeds from the pre-training params instead
             self.host_ema = bank.host_init(params_np)
             return
         for name in bank.offloaded:  # partial restore: seed missing ones

@@ -259,6 +259,39 @@ def test_spc_fix_text_and_binary_id666(tmp_path):
     assert spc_read_tags(str(p3))["length_s"] == 10
 
 
+def test_spc_text_id666_five_digit_fade(tmp_path):
+    """A text id666 fade >= 10000 ms uses all 5 ASCII digits, so byte 176
+    (the reference's binary/text discriminator) is non-NUL; the binary
+    bounds sanity check must still classify it as text, both on first
+    read and after spc_fix rewrites a 5-digit fade (idempotency)."""
+    from dualdiffusion_tpu.dataset.scrapers import spc_fix, spc_read_tags
+    p = tmp_path / "f.spc"
+    p.write_bytes(_make_spc(b"30\x00", b"10000", binary_artist=False))
+    t = spc_read_tags(str(p))
+    assert t["length_s"] == 30 and t["fade_ms"] == 10000
+    assert spc_fix(str(p), min_length_s=50, fade_ms=12000)
+    t = spc_read_tags(str(p))
+    assert t["length_s"] == 50 and t["fade_ms"] == 12000
+    # second run must read its own output back correctly and no-op
+    assert not spc_fix(str(p), min_length_s=50, fade_ms=12000)
+
+
+def test_spc_xid6_bytes_in_ram_ignored(tmp_path):
+    """The literal bytes "xid6" inside the 64 KB SPC700 RAM image must not
+    be mistaken for the extended tag chunk (a false match would make
+    spc_fix overwrite music data in place)."""
+    from dualdiffusion_tpu.dataset.scrapers import spc_fix, spc_read_tags
+    raw = bytearray(_make_spc(b"30\x00", b"8000\x00", binary_artist=False))
+    raw[4000:4004] = b"xid6"      # sample data that happens to spell xid6
+    p = tmp_path / "g.spc"
+    p.write_bytes(bytes(raw))
+    assert spc_read_tags(str(p))["xid6_fade_ms"] is None
+    assert spc_fix(str(p), min_length_s=50, fade_ms=0)
+    after = p.read_bytes()
+    assert after[4000:4004] == b"xid6"          # chunk marker untouched
+    assert after[4004:4012] == b"\x00" * 8      # surrounding RAM untouched
+
+
 def test_spc_fix_xid6_and_apev2(tmp_path):
     """The xid6 fade subchunk (ticks) and APEv2 spc_length/spc_fade items
     are kept consistent with the rewritten id666 fields."""

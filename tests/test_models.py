@@ -33,6 +33,18 @@ def test_unet_2d_forward(key):
     assert bool(jnp.isfinite(y).all())
 
 
+def test_unet_rejects_misaligned_width(key):
+    """A W (or H) not divisible by 2^(levels-1) mismatches skip widths
+    across down/up resampling; the model must fail with a readable error
+    up front, not a reshape error deep inside a W-packed skip-cat."""
+    cfg = tiny_unet_cfg()     # 2 levels -> H, W must be even
+    model = UNet(cfg)
+    x = jax.random.normal(key, (1, 16, 15, 4))
+    sigma = jnp.ones((1,))
+    with pytest.raises(ValueError, match="divisible"):
+        model.init(key, x, sigma)
+
+
 @pytest.mark.slow
 def test_unet_preconditioning_limits(key):
     """At huge sigma, D_x ~ c_out*F (c_skip~0); at tiny sigma D_x ~ x."""
