@@ -51,6 +51,47 @@ def _run_train_cli(argv):
 
 
 @pytest.mark.slow
+def test_train_cli_host_ema_matches_in_graph(tmp_path):
+    """Two classic beta-EMA profiles with the SAME beta — one in-graph,
+    one cpu_offload — must track each other bit-for-bit-ish (fp32 numpy vs
+    fp32 jnp) through the production trainer, including the first step:
+    both are seeded from the pre-training params, so neither skips a lerp
+    (reference: ema.py:257-270 non-blocking CPU-offload copies)."""
+    model_dir = tmp_path / "model"
+    make_pipeline(jax.random.PRNGKey(0)).save_pretrained(model_dir)
+    data_dir = tmp_path / "data"
+    _make_dataset(data_dir)
+
+    conf = {
+        "module_trainer": "unet",
+        "module_name": "unet",
+        "device_batch_size": 1,   # 8 virtual devices -> global batch 8
+        "gradient_accumulation_steps": 1,
+        "min_checkpoint_time": 10 ** 9,
+        "dataloader": {"load_datatypes": ["latents", "audio_embeddings"],
+                       "latents_crop_width": 16},
+        # a LOW beta so a skipped first lerp would leave a large offset
+        "emas": {"dev": {"beta": 0.5},
+                 "host": {"beta": 0.5, "cpu_offload": True}},
+    }
+    cpath = tmp_path / "unet_train.json"
+    cpath.write_text(json.dumps(conf))
+    _run_train_cli(["train.py", "--model_path", str(model_dir),
+                    "--train_config_path", str(cpath),
+                    "--dataset_path", str(data_dir),
+                    "--max_steps", "3"])
+    ckpt = sorted(model_dir.glob("unet_checkpoint-*"))[-1]
+    from dualdiffusion_tpu.utils import load_safetensors
+    dev = load_safetensors(ckpt / "unet" / "ema_dev.safetensors")
+    host = load_safetensors(ckpt / "unet" / "ema_host.safetensors")
+    assert set(dev) == set(host)
+    for k in dev:
+        np.testing.assert_allclose(np.asarray(host[k], np.float32),
+                                   np.asarray(dev[k], np.float32),
+                                   atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
 def test_train_cli_dp_tp_step(tmp_path):
     model_dir = tmp_path / "model"
     make_pipeline(jax.random.PRNGKey(0)).save_pretrained(model_dir)
