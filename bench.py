@@ -348,8 +348,10 @@ def main():
     ap.add_argument("--ddec_steps", type=int, default=20)
     ap.add_argument("--fgla", type=int, default=200)
     ap.add_argument("--fgla-init", default="flat", choices=["flat", "spsi"],
-                    help="FGLA phase init; spsi reaches flat's 200-iter "
-                         "convergence in ~150 (pair with --fgla 150)")
+                    help="FGLA phase init; on mel-inverted magnitudes "
+                         "phase-locked spsi at 100 iters beats flat at 200 "
+                         "(pair with --fgla 100); flat matches the "
+                         "reference workload definition")
     args = ap.parse_args()
     if args.ddec and (args.small or args.no_ddec):
         ap.error("--ddec needs the production 256-bin mel grid "

@@ -53,9 +53,10 @@ class SpectrogramFormatConfig(FormatConfig):
     fgla_momentum: float = 0.99
     stereo_coherence: float = 0.67
     fgla_work_dtype: str = "float32"   # "bfloat16" halves loop HBM traffic
-    # "spsi" seeds FGLA with integrated instantaneous-frequency phases
-    # (ops/fgla.spsi_phase) instead of the reference's flat init — same
-    # loop, ~25% fewer iterations for equal spectral convergence
+    # "spsi" seeds FGLA with phase-locked SPSI phases (ops/fgla.spsi_phase)
+    # instead of the reference's flat init — same loop; on mel-inverted
+    # magnitudes (this format's decode input) 100 iterations reach LOWER
+    # spectral error than flat at 200 (measured in tests/test_fgla_fast.py)
     fgla_phase_init: str = "flat"
 
     @property

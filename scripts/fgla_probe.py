@@ -65,6 +65,11 @@ def main():
         "fused_iter": dict(fuse_iteration=True, n_iter=args.iters),
         "fused_iter_spsi150": dict(fuse_iteration=True, phase_init="spsi",
                                    n_iter=args.iters * 3 // 4),
+        # phase-locked SPSI at HALF the iterations beats flat@200 on
+        # mel-inverted magnitudes (tests/test_fgla_fast.py); this probe's
+        # exact-STFT target is the conservative case
+        "fused_iter_spsi100": dict(fuse_iteration=True, phase_init="spsi",
+                                   n_iter=args.iters // 2),
         "fused_iter_spsi": dict(fuse_iteration=True, phase_init="spsi",
                                 n_iter=args.iters),
     }

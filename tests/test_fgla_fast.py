@@ -342,6 +342,44 @@ def test_spsi_phase_init_converges_faster():
     assert e_spsi < 0.95 * e_flat, (e_flat, e_spsi)
 
 
+def test_spsi_locked_beats_flat_on_mel_inverted_mags():
+    """On the PRODUCTION decode input — mel-filterbank-inverted
+    (inconsistent) magnitudes — phase-locked SPSI at HALF the iterations
+    reaches lower spectral convergence error than flat init, which
+    plateaus (measured 0.053 @30 vs 0.070 @60 at this geometry; 0.054
+    @100 vs 0.081 @200 at the production n_fft=6400 geometry)."""
+    from dualdiffusion_tpu.ops.fgla import griffinlim
+    from dualdiffusion_tpu.ops.mel import FrequencyScale
+    n_fft, hop, frames = 1280, 256, 80
+    win = np.asarray(get_window("hann_power", n_fft, exponent=32.0))
+    rng = np.random.default_rng(3)
+    t = np.arange((frames - 1) * hop) / 32000
+    sig = sum(0.2 * np.sin(2 * np.pi * f * t * (1 + 0.001 * np.sin(2 * np.pi * 2 * t)))
+              for f in (220.0, 330.0, 440.0, 880.0))
+    sig = sig + 0.1 * np.sin(2 * np.pi * (200 + 40 * t) * t)
+    sig = sig + 0.02 * rng.standard_normal(sig.shape)
+    audio = jnp.asarray(np.stack([sig, sig * 0.8]).astype(np.float32)[None])
+    exact = jnp.abs(stft(audio, win, n_fft, hop, backend="fft"))[:, :, :frames]
+    fs = FrequencyScale(freq_scale="mel", freq_min=20.0, freq_max=16000.0,
+                        sample_rate=32000, num_stft_bins=n_fft // 2 + 1,
+                        num_filters=64)
+    mag = jnp.swapaxes(fs.unscale(fs.scale(jnp.swapaxes(exact, -1, -2))),
+                       -1, -2)
+
+    def conv_err(out):
+        got = jnp.abs(stft(out, win, n_fft, hop, backend="fft"))
+        f2 = min(got.shape[2], mag.shape[2])
+        return float(jnp.linalg.norm(got[:, :, :f2] - mag[:, :, :f2])
+                     / jnp.linalg.norm(mag))
+
+    kw = dict(momentum=0.99, work_dtype="float32", backend="fft")
+    e_flat = conv_err(griffinlim(mag, win, n_fft, hop, n_iter=60,
+                                 phase_init="flat", **kw))
+    e_spsi = conv_err(griffinlim(mag, win, n_fft, hop, n_iter=30,
+                                 phase_init="spsi", **kw))
+    assert e_spsi < e_flat, (e_flat, e_spsi)
+
+
 def test_spsi_init_single_iteration_matches_legacy():
     """The digit-grid SPSI seed equals the legacy loop's natural-order
     seed: one projection step stays within live-bin tolerance."""
