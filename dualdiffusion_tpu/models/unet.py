@@ -34,6 +34,13 @@ import numpy as np
 from .layers import MPConv, MPFourier
 from .mp import mp_cat, mp_silu, mp_sum, normalize, resample_2d, resample_3d
 
+# W-pack factor policy for down/up resample blocks: "channels" (pack by the
+# destination level's channel count — measured faster on v5e, see
+# scripts/ddec_probe.py) or "cin" (pack by the channels the block actually
+# runs at — maximal lane density but an extra relayout at the boundary).
+import os as _os
+_DOWNUP_PACK_POLICY = _os.environ.get("DD_WPACK_DOWNUP", "channels")
+
 
 @dataclass
 class UNetConfig:
@@ -459,11 +466,15 @@ class UNetCore(nn.Module):
                 skips.append(x)
             elif kind == "enc_down":
                 # the down block runs at the PREVIOUS level's channel count
-                # (cin == cout, the transition is in the first layer block)
-                # — pack by the channels it actually runs at, not the new
-                # level's larger count, or low-channel down blocks stay
-                # half-empty on the 128-lane dim
-                p = self._pack_factor(level, cin, x.shape[w_axis] // 2)
+                # (cin == cout, the transition is in the first layer block).
+                # Packing by that smaller count (maximal lane density) was
+                # measured SLOWER on v5e than packing by the new level's
+                # count: the deeper pack factor forces an extra relayout at
+                # the block boundary that outweighs the lane fill (DDEC
+                # 256x5504 probe, scripts/ddec_probe.py). Policy switchable
+                # for measurement via DD_WPACK_DOWNUP=cin.
+                pch = cin if _DOWNUP_PACK_POLICY == "cin" else channels
+                p = self._pack_factor(level, pch, x.shape[w_axis] // 2)
                 x = _unpack_w(mod(x, emb, training, p), p)
                 skips.append(x)
             elif kind == "enc_layer":
@@ -475,9 +486,9 @@ class UNetCore(nn.Module):
                 x = _unpack_w(mod(_pack_w(x, p), emb, training, p), p)
             elif kind == "dec_up":
                 # ditto: the up block runs at the DEEPER level's channel
-                # count (cin == cout); using the new level's smaller count
-                # would over-pack
-                p = self._pack_factor(level, cin, x.shape[w_axis] * 2)
+                # count (cin == cout)
+                pch = cin if _DOWNUP_PACK_POLICY == "cin" else channels
+                p = self._pack_factor(level, pch, x.shape[w_axis] * 2)
                 x = _unpack_w(mod(x, emb, training, p), p)
             elif kind == "dec_layer":
                 skip_x = skips.pop()
@@ -496,11 +507,16 @@ class UNetCore(nn.Module):
     def precondition(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
                      embeddings: Optional[jnp.ndarray],
                      x_ref: Optional[jnp.ndarray], training: bool = False,
-                     ln_freqs: Optional[jnp.ndarray] = None):
+                     ln_freqs: Optional[jnp.ndarray] = None,
+                     x_perturbed: Optional[jnp.ndarray] = None):
         """EDM2 preconditioning + x_ref fold + aux channels + noise/label
         embedding. Returns (x, emb, c_skip, c_out). ``ln_freqs``: (H,)
         log-frequencies for the positional channel (standardized in-model,
-        so the log base is irrelevant); defaults to mel-scale centers."""
+        so the log base is irrelevant); defaults to mel-scale centers.
+        ``x_perturbed``: training-time input perturbation — the network
+        input is ``c_in * x_perturbed`` while the c_skip residual path still
+        uses the unperturbed ``x_in`` (reference:
+        unet_edm2_b4.py:255-267 consumed by unet_trainer.py:254-261)."""
         cfg = self.cfg
         dtype = jnp.bfloat16
         sigma = sigma.reshape((-1,) + (1,) * (x_in.ndim - 1)).astype(jnp.float32)
@@ -510,7 +526,8 @@ class UNetCore(nn.Module):
         c_in = 1.0 / jnp.sqrt(sd ** 2 + sigma ** 2)
         c_noise = jnp.log(sigma.reshape(-1)) / 4.0
 
-        x = (c_in * x_in.astype(jnp.float32)).astype(dtype)
+        net_in = x_in if x_perturbed is None else x_perturbed
+        x = (c_in * net_in.astype(jnp.float32)).astype(dtype)
 
         if x_ref is not None and cfg.in_psd_freqs > 0:
             # (B, psd_bins, W, C) -> fold psd rows into channels aligned to
@@ -561,7 +578,8 @@ class UNetCore(nn.Module):
                  embeddings: Optional[jnp.ndarray] = None,
                  x_ref: Optional[jnp.ndarray] = None,
                  training: bool = False,
-                 ln_freqs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 ln_freqs: Optional[jnp.ndarray] = None,
+                 x_perturbed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         div = 1 << (len(cfg.channel_mult) - 1)
         h, w = x_in.shape[-3], x_in.shape[-2]
@@ -573,7 +591,8 @@ class UNetCore(nn.Module):
                 f"(2^(levels-1), {len(cfg.channel_mult)} levels) so skip "
                 f"widths match across down/up resampling")
         x, emb, c_skip, c_out = self.precondition(x_in, sigma, embeddings,
-                                                  x_ref, training, ln_freqs)
+                                                  x_ref, training, ln_freqs,
+                                                  x_perturbed)
         x, _ = self.run_ops(x, emb, [], training=training)
         return c_skip * x_in.astype(jnp.float32) + c_out * x.astype(jnp.float32)
 
@@ -604,8 +623,10 @@ class UNet(nn.Module):
                  embeddings: Optional[jnp.ndarray] = None,
                  x_ref: Optional[jnp.ndarray] = None,
                  training: bool = False,
-                 ln_freqs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        return self.core(x_in, sigma, embeddings, x_ref, training, ln_freqs)
+                 ln_freqs: Optional[jnp.ndarray] = None,
+                 x_perturbed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        return self.core(x_in, sigma, embeddings, x_ref, training, ln_freqs,
+                         x_perturbed)
 
     def init_all(self, x_in: jnp.ndarray, sigma: jnp.ndarray,
                  emb_in: Optional[jnp.ndarray] = None,

@@ -336,7 +336,9 @@ def griffinlim_fast(specgram: jnp.ndarray, window: np.ndarray, n_fft: int,
         # two-kernel fallback.
         import os
         gate = os.environ.get("DD_FGLA_FUSE_ITER", "1") != "0"
-        fuse_iteration = (use_pallas and fuse_transforms is not False
+        # an EXPLICIT fuse_transforms=True is a request for the two-kernel
+        # path — only the all-default case dispatches to the fused iteration
+        fuse_iteration = (use_pallas and fuse_transforms is None
                           and iter_ok and gate)
     elif fuse_iteration and not iter_ok:
         raise ValueError(

@@ -73,9 +73,9 @@ def build_unet_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
     cfg = config_from_dict(UNetTrainConfig, dict(tconf.module_trainer_config))
     cfg.grad_accum_steps = tconf.gradient_accumulation_steps
 
-    def unet_apply(p, x, sigma, emb, ref, k):
+    def unet_apply(p, x, sigma, emb, ref, k, x_perturbed=None):
         return model.apply(p, x, sigma, emb, ref, training=True,
-                           rngs={"dropout": k})
+                           x_perturbed=x_perturbed, rngs={"dropout": k})
 
     def get_emb(p, emb_in, mask):
         return model.apply(p, emb_in, mask, method=UNet.get_embeddings)
@@ -135,9 +135,9 @@ def build_ddec_trainer(pipeline, tconf: TrainerConfig, key: jax.Array):
     cfg = config_from_dict(DDECTrainConfig, dict(tconf.module_trainer_config))
     cfg.unet.grad_accum_steps = tconf.gradient_accumulation_steps
 
-    def ddec_apply(p, x, sigma, emb, ref, k):
+    def ddec_apply(p, x, sigma, emb, ref, k, x_perturbed=None):
         return model.apply(p, x, sigma, emb, ref, training=True,
-                           rngs={"dropout": k})
+                           x_perturbed=x_perturbed, rngs={"dropout": k})
 
     def get_logvar(p, sigma):
         return model.apply(p, sigma, method=UNet.get_sigma_loss_logvar)
@@ -177,9 +177,9 @@ def build_joint_dae_ddec_trainer(pipeline, tconf: TrainerConfig, key: jax.Array)
     cfg = config_from_dict(JointDAEDDECConfig, dict(tconf.module_trainer_config))
     cfg.grad_accum_steps = tconf.gradient_accumulation_steps
 
-    def ddec_apply(p, x, sigma, emb, ref, k):
+    def ddec_apply(p, x, sigma, emb, ref, k, x_perturbed=None):
         return model.apply(p, x, sigma, emb, ref, training=True,
-                           rngs={"dropout": k})
+                           x_perturbed=x_perturbed, rngs={"dropout": k})
 
     def get_logvar(p, sigma):
         return model.apply(p, sigma, method=UNet.get_sigma_loss_logvar)

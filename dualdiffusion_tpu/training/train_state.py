@@ -98,7 +98,11 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
         ref = batch.get("ref_samples")
         emb_in = batch.get("embeddings")
         b = samples.shape[0]
-        k_cond, k_noise, k_pert, k_cpert, k_drop = jax.random.split(key, 5)
+        # every split below is consumed unconditionally; optional consumers
+        # (conditioning/input perturbation) derive theirs via fold_in so a
+        # disabled knob leaves no dangling RNG stream (tested:
+        # tests/test_training.py input-perturbation cases)
+        k_cond, k_noise, k_drop = jax.random.split(key, 3)
 
         embeddings = None
         if emb_in is not None:
@@ -107,13 +111,25 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
             embeddings = get_embeddings(params, emb_in, cond_mask)
             if config.conditioning_perturbation > 0:
                 embeddings = embeddings + jax.random.normal(
-                    k_cpert, embeddings.shape) * config.conditioning_perturbation
+                    jax.random.fold_in(key, 1), embeddings.shape
+                ) * config.conditioning_perturbation
 
-        noise = jax.random.normal(k_noise, samples.shape) * sigma.reshape(
-            (-1,) + (1,) * (samples.ndim - 1))
+        sig_b = sigma.reshape((-1,) + (1,) * (samples.ndim - 1))
+        noise = jax.random.normal(k_noise, samples.shape) * sig_b
         x_noisy = samples + noise
 
-        denoised = unet_apply(params, x_noisy, sigma, embeddings, ref, k_drop)
+        if config.input_perturbation > 0:
+            # sigma-scaled extra noise on the NETWORK input only; the model
+            # denoises samples+noise through its c_skip path (reference:
+            # unet_trainer.py:254-261 feeding unet_edm2_b4.py:255-267)
+            pert = jax.random.normal(jax.random.fold_in(key, 2),
+                                     samples.shape)
+            x_pert = x_noisy + pert * sig_b * config.input_perturbation
+            denoised = unet_apply(params, x_noisy, sigma, embeddings, ref,
+                                  k_drop, x_pert)
+        else:
+            denoised = unet_apply(params, x_noisy, sigma, embeddings, ref,
+                                  k_drop)
 
         if config.use_dynamic_sigma_data:
             # per-sample effective sigma_data (unet_trainer.py:262-268)
@@ -124,8 +140,7 @@ def make_unet_train_step(unet_apply: Callable, get_embeddings: Callable,
                           config.dynamic_sigma_data_max) ** config.dynamic_sigma_data_exp
         else:
             sd = config.sigma.sigma_data
-        sig = sigma.reshape((-1,) + (1,) * (samples.ndim - 1))
-        loss_weight = (sig ** 2 + sd ** 2) / (sig * sd) ** 2
+        loss_weight = (sig_b ** 2 + sd ** 2) / (sig_b * sd) ** 2
         mse = (denoised - samples) ** 2
         weighted = (mse * loss_weight).mean(axis=tuple(range(1, samples.ndim)))
 

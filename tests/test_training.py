@@ -203,7 +203,7 @@ def test_wavelet_and_kl_and_dispersion(key):
 # the full train step (single-device then 8-device mesh)
 # ---------------------------------------------------------------------------
 
-def _build(key, grad_accum=1, total_batch=4):
+def _build(key, grad_accum=1, total_batch=4, input_perturbation=0.0):
     cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=8,
                      model_channels=8, channel_mult=(1, 2),
                      num_layers_per_block=1, channels_per_head=8,
@@ -213,8 +213,9 @@ def _build(key, grad_accum=1, total_batch=4):
     emb_in = jnp.zeros((1, 8))
     params = model.init(key, x, jnp.ones((1,)), emb_in, method=UNet.init_all)
 
-    def unet_apply(p, x, sigma, emb, ref, k):
-        return model.apply(p, x, sigma, emb, training=True, rngs={"dropout": k})
+    def unet_apply(p, x, sigma, emb, ref, k, x_perturbed=None):
+        return model.apply(p, x, sigma, emb, training=True,
+                           x_perturbed=x_perturbed, rngs={"dropout": k})
 
     def get_emb(p, emb_in, mask):
         return model.apply(p, emb_in, mask, method=UNet.get_embeddings)
@@ -223,6 +224,7 @@ def _build(key, grad_accum=1, total_batch=4):
         return model.apply(p, sigma, method=UNet.get_sigma_loss_logvar)
 
     tc = UNetTrainConfig(grad_accum_steps=grad_accum,
+                         input_perturbation=input_perturbation,
                          sigma=SigmaSamplerConfig(distribution="ln_sech"))
     opt = build_optimizer("adamw", 1e-3)
     bank = EMABank([EMAConfig(name="std0.05", std=0.05)])
@@ -230,6 +232,48 @@ def _build(key, grad_accum=1, total_batch=4):
                                 tc, total_batch_size=total_batch)
     state = init_train_state(params, opt, bank, tc.sigma, key)
     return step, state
+
+
+def test_input_perturbation_changes_loss(key):
+    """input_perturbation must be APPLIED, not just configured (reference:
+    unet_trainer.py:254-261): at a fixed RNG/batch, enabling it changes the
+    training loss because the network input gains sigma-scaled noise."""
+    batch = {"samples": jax.random.normal(key, (4, 8, 16, 4)),
+             "embeddings": jax.random.normal(key, (4, 8))}
+    losses = {}
+    for ip in (0.0, 0.5):
+        step, state = _build(key, input_perturbation=ip)
+        # zero-init out_gain silences the network branch (D_x would reduce
+        # to c_skip*x and mask the perturbation) — give it a real value
+        state.params["params"]["core"]["out_gain"] = jnp.ones(())
+        _, logs = jax.jit(step)(state, batch)
+        losses[ip] = float(logs["loss"])
+    assert np.isfinite(losses[0.0]) and np.isfinite(losses[0.5])
+    assert losses[0.0] != losses[0.5]
+
+
+def test_unet_perturbed_input_skip_path(key):
+    """The perturbed tensor feeds ONLY the network (c_in path); the c_skip
+    residual still uses the unperturbed input (reference semantics:
+    unet_edm2_b4.py:255-267). Identity checked:
+    D(x, x_pert=y) - c_skip*x == D(y) - c_skip*y."""
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=0,
+                     model_channels=8, channel_mult=(1, 2),
+                     num_layers_per_block=1, channels_per_head=8,
+                     logvar_channels=16)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 8, 16, 4))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 16, 4))
+    sigma = jnp.asarray([0.5, 3.0])
+    params = model.init(key, x, sigma, method=UNet.init_all)
+    params["params"]["core"]["out_gain"] = jnp.ones(())
+    sd = cfg.sigma_data
+    c_skip = (sd ** 2 / (sigma ** 2 + sd ** 2)).reshape(-1, 1, 1, 1)
+    d_xy = model.apply(params, x, sigma, x_perturbed=y)
+    d_y = model.apply(params, y, sigma)
+    np.testing.assert_allclose(np.asarray(d_xy - c_skip * x),
+                               np.asarray(d_y - c_skip * y),
+                               rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow
