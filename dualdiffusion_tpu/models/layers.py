@@ -155,12 +155,15 @@ class MPConv(nn.Module):
         w_exp = jnp.einsum("yxio,xwab->ywaibo", whwio, sel).reshape(
             kh, cross, p * self.in_channels, p * self.out_channels)
         import os
-        if os.environ.get("DD_PACKED_CONV_MATMUL", "1") != "0":
-            # per-tap matmuls instead of conv_general_dilated: XLA's
-            # spatial conv lowering materialized ~25 GB/forward of
-            # pad/select/copy ops on the DDEC's level-0 blocks (profiled;
-            # see _grouped_conv's identical finding for grouped convs) —
-            # a (kh * cross)-term sum of plain dots avoids that entirely
+        if os.environ.get("DD_PACKED_CONV_MATMUL", "0") != "0":
+            # per-tap matmuls instead of conv_general_dilated — KEPT AS AN
+            # OPT-IN ONLY (DD_PACKED_CONV_MATMUL=1). The round-3 profile
+            # that motivated it was per-call-sync timing over the tunneled
+            # runtime; the round-4 A/B with one-sync amortized timing
+            # measured the XLA conv lowering at 4.38 s / 38.2% MFU for the
+            # 20-step DDEC stage vs 11.44 s for the per-tap matmuls
+            # (/tmp/tpum_bench*.log, BENCH_r04) — the conv lowering wins
+            # decisively on the packed layout
             b, h, wp, k = x.shape
             xp = jnp.pad(x, [(0, 0), (kh // 2, kh // 2),
                              (cross // 2, cross // 2), (0, 0)])
@@ -191,11 +194,18 @@ class MPConv(nn.Module):
             # grouped conv running no faster than the 5.7 TFLOP dense
             # equivalent at mlp_groups=8. Each kernel tap becomes a
             # dot_general batched over groups instead.
-            return self._grouped_conv(x, w, grouped_in=grouped_in,
-                                      grouped_out=grouped_out)
+            # DD_GROUPED_CONV_NATIVE=1 opts back into XLA's native grouped
+            # lowering for 2D merged-layout calls (A/B probe: the round-3
+            # dense-lowering measurement used per-call-sync timing).
+            import os
+            if not (os.environ.get("DD_GROUPED_CONV_NATIVE", "0") == "1"
+                    and not grouped_in and not grouped_out and nd == 2
+                    and self.w_pad_mode != "reflect"):
+                return self._grouped_conv(x, w, grouped_in=grouped_in,
+                                          grouped_out=grouped_out)
         assert not (grouped_in or grouped_out), "requires groups > 1"
         if (self.stride == 1 and all(k == 1 for k in self.kernel)
-                and self.w_pad_mode != "reflect"):
+                and self.groups == 1 and self.w_pad_mode != "reflect"):
             # 1x1[x1] conv == matmul over the channel dim (skip projections,
             # latent in/out convs): keeps XLA out of the conv lowering's
             # layout copies entirely

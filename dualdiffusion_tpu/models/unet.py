@@ -194,7 +194,9 @@ class UNetBlock(nn.Module):
         # dot_general batch-major (G, B, ..., C/g) layout straight through
         # (the elementwise modulation between them is layout-agnostic),
         # paying XLA's group relayout once per chain instead of per conv
-        grouped = cfg.mlp_groups > 1
+        import os
+        grouped = (cfg.mlp_groups > 1
+                   and os.environ.get("DD_GROUPED_CONV_NATIVE", "0") != "1")
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,
                    name="conv_res0")(

@@ -213,6 +213,11 @@ class Trainer:
         self.last_checkpoint_time = time.time()
         self.total_train_hours = 0.0
         self.epoch = 0
+        # mid-epoch resume (reference: trainer.py:908-916,933): batches
+        # fully consumed in the current epoch; persisted in
+        # trainer_state.json and used to fast-forward the dataloader
+        self.epoch_batch_idx = 0
+        self._resume_skip_batches = 0
         self._pending_sample_losses: Dict[str, float] = {}
         # host-resident EMA profiles (EMAConfig.cpu_offload — the
         # reference's ema.py:257-270 analog); initialized at first step
@@ -313,6 +318,7 @@ class Trainer:
             save_json({
                 "global_step": step,
                 "epoch": self.epoch,
+                "epoch_batch_idx": self.epoch_batch_idx,
                 "total_samples_processed": int(self.state.total_samples_processed),
                 "total_train_hours": self.total_train_hours,
             }, ckpt / "trainer_state.json")
@@ -373,8 +379,19 @@ class Trainer:
         ts = load_json(ckpt / "trainer_state.json")
         self.epoch = ts.get("epoch", 0)
         self.total_train_hours = ts.get("total_train_hours", 0.0)
+        # mid-epoch fast-forward: skip the batches already consumed this
+        # epoch so the remaining sequence equals an uninterrupted run's.
+        # Optimizer hyperparams need no reconciliation pass (reference
+        # :827-879): the optax chain is rebuilt from the CURRENT config at
+        # startup and orbax restores only its state (moments/counts), so
+        # post-checkpoint lr/beta/wd edits apply from the first resumed
+        # step (tested: test_training.py mid-epoch resume cases).
+        self.epoch_batch_idx = ts.get("epoch_batch_idx", 0)
+        self._resume_skip_batches = self.epoch_batch_idx
         self._write_src_diff(ckpt)
-        logger.info("resumed from %s at step %d", ckpt, int(self.state.global_step))
+        logger.info("resumed from %s at step %d (epoch %d, fast-forward "
+                    "%d batches)", ckpt, int(self.state.global_step),
+                    self.epoch, self._resume_skip_batches)
         return True
 
     def _write_src_diff(self, ckpt: Path) -> None:
@@ -416,11 +433,12 @@ class Trainer:
                 jax.device_get(self.state.params))
 
         while self.epoch < cfg.num_train_epochs:
-            for batch in self.dataloader:
+            for batch in self._epoch_iter():
                 t0 = time.time()
                 paths = batch.pop("paths", None)
                 self._maybe_profile(int(self.state.global_step))
                 self.state, logs = self.train_step(self.state, batch)
+                self.epoch_batch_idx += 1
                 self._update_host_emas()
                 step = int(self.state.global_step)
                 loss = float(logs["loss"])
@@ -495,6 +513,7 @@ class Trainer:
                     return self.state
 
             self.epoch += 1
+            self.epoch_batch_idx = 0
             self._flush_sample_losses()
             if (self.eval_step is not None
                     and self.validation_dataloader is not None
@@ -513,6 +532,24 @@ class Trainer:
                     time.time() - self.last_checkpoint_time > cfg.min_checkpoint_time:
                 self.save_checkpoint()
         return self.state
+
+    def _epoch_iter(self):
+        """One epoch's batch iterator. A dataloader exposing
+        ``epoch_iter(epoch, skip_batches)`` (train.py's EpochLoader) gets
+        the epoch number (per-epoch shuffle seed) and the mid-epoch
+        fast-forward count; plain iterables just iterate (resume then
+        restarts the epoch, logged as a warning)."""
+        dl = self.dataloader
+        skip = self._resume_skip_batches
+        self._resume_skip_batches = 0
+        if hasattr(dl, "epoch_iter"):
+            return dl.epoch_iter(self.epoch, skip)
+        if skip:
+            logger.warning(
+                "dataloader has no epoch_iter(); cannot fast-forward %d "
+                "batches — this epoch restarts from its first batch", skip)
+            self.epoch_batch_idx = 0
+        return iter(dl)
 
     def _update_host_emas(self) -> None:
         """Per-step update of cpu_offload EMA profiles: one device->host

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--packs", default="0,64,128,256")
     ap.add_argument("--width", type=int, default=5504)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--scan", type=int, default=10,
+                    help="chained forwards per timed scan (sync-amortized)")
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the best run")
     args = ap.parse_args()
@@ -65,18 +67,27 @@ def main():
             k, jnp.zeros((1, 256, 64, 2)), jnp.ones((1,)), None,
             jnp.zeros((1, 2048, 64, 2)), method=UNet.init_all))(key)
 
-        fwd = jax.jit(lambda uv, xx, s, r: unet.apply(uv, xx, s, None, r))
+        # N chained forwards inside ONE scan, one host sync at the end:
+        # per-call np.asarray syncs cost 100s of ms over the tunneled
+        # runtime and swamp a ~100 ms kernel (measured: the same config
+        # read 285 ms/fwd scan-amortized vs 650 ms/fwd per-call synced)
+        n_scan = args.scan
+        def fwd_scan(uv, xx, s, r):
+            def body(carry, _):
+                out = unet.apply(uv, carry, s, None, r)
+                return out.astype(carry.dtype), ()
+            y, _ = jax.lax.scan(body, xx, None, length=n_scan)
+            return y
+        fwd = jax.jit(fwd_scan)
         t0 = time.time()
         out = np.asarray(fwd(uvars, x, sigma, ref))
         log(f"pack={pack}: compile+first {time.time() - t0:.1f}s")
         assert np.isfinite(out).all()
-        # forced device->host sync (block_until_ready under-reports
-        # through the tunneled runtime)
         t0 = time.time()
         n = args.reps
         for _ in range(n):
             out = np.asarray(fwd(uvars, x, sigma, ref))
-        dt = (time.time() - t0) / n
+        dt = (time.time() - t0) / (n * n_scan)
         results[pack] = dt
         fwds[pack] = (fwd, uvars)
         log(f"pack={pack}: {dt * 1e3:.1f} ms/fwd "

@@ -114,24 +114,26 @@ def main():
                    * tconf.gradient_accumulation_steps
                    * jax.local_device_count())
 
-    def dataloader():
-        epoch = 0
-        while True:
-            for batch in ds.iter_batches(
-                    "train", local_batch,
-                    seed=tconf.seed + epoch):
-                paths = batch.pop("paths", None)
-                adapted = batch_adapter(batch)
-                adapted = shard_batch(mesh, adapted)
-                if paths is not None:
-                    adapted["paths"] = paths
-                yield adapted
-            epoch += 1
-            return  # one pass per Trainer epoch
+    def dataloader(epoch: int, skip_batches: int):
+        # per-epoch shuffle seed + mid-epoch fast-forward (the Trainer
+        # passes its restored epoch/batch position on resume; reference:
+        # trainer.py:908-916,933 skip_first_batches)
+        for batch in ds.iter_batches(
+                "train", local_batch,
+                seed=tconf.seed + epoch, skip_batches=skip_batches):
+            paths = batch.pop("paths", None)
+            adapted = batch_adapter(batch)
+            adapted = shard_batch(mesh, adapted)
+            if paths is not None:
+                adapted["paths"] = paths
+            yield adapted
 
     class EpochLoader:
-        def __iter__(self):
-            return dataloader()
+        def epoch_iter(self, epoch: int, skip_batches: int = 0):
+            return dataloader(epoch, skip_batches)
+
+        def __iter__(self):  # plain-iterable fallback (epoch 0)
+            return dataloader(0, 0)
 
     trainer = Trainer(tconf, jstep, state, EpochLoader(), ema_bank=ema_bank,
                       export_module_fn=export_fn, mesh=mesh)
