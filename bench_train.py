@@ -16,6 +16,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ref-scale", action="store_true",
                     help="reference-default 356M UNet (4 latent channels)")
+    ap.add_argument("--offload-ema", action="store_true",
+                    help="add one cpu_offload EMA profile driven by the "
+                         "AsyncHostEMA worker (measures the offload "
+                         "overhead vs the in-graph-only bank)")
     args = ap.parse_args()
 
     import jax
@@ -75,8 +79,16 @@ def main():
     else:
         bank = EMABank([EMAConfig(name="std0.05", std=0.05),
                         EMAConfig(name="std0.1", std=0.1)])
+    if args.offload_ema:
+        bank = EMABank(list(bank.configs.values())
+                       + [EMAConfig(name="host0.1", std=0.1,
+                                    cpu_offload=True)])
     import os
     donate = () if os.environ.get("DD_DONATE_STATE", "0") == "0" else (0,)
+    if args.offload_ema:
+        # the async host-EMA worker reads the previous step's params while
+        # the next step runs; donating the state would invalidate them
+        donate = ()
     jstep = jax.jit(make_unet_train_step(apply_fn, get_emb, get_logvar, opt,
                                          bank, tconf, total_batch_size=b),
                     donate_argnums=donate)
@@ -96,11 +108,25 @@ def main():
     cost = compiled_cost(compiled)
     step = compiled
 
+    host_ema = None
+    if args.offload_ema:
+        from dualdiffusion_tpu.training.ema import AsyncHostEMA
+        host_ema = AsyncHostEMA(bank, batch_size=b)
+        host_ema.seed(jax.device_get(state.params))
+
     state, logs = step(state, batch)   # warm
+    if host_ema is not None:
+        host_ema.update(state.params, state.total_samples_processed,
+                        state.global_step)
     _ = float(logs["loss"])            # forced device->host sync
     t0 = time.time()
     for _ in range(args.iters):
         state, logs = step(state, batch)
+        if host_ema is not None:
+            host_ema.update(state.params, state.total_samples_processed,
+                            state.global_step)
+    if host_ema is not None:
+        host_ema.sync()                # the offloaded lerp is part of the step
     loss = float(logs["loss"])         # sync: loss depends on the last step
     dt = (time.time() - t0) / args.iters
     assert np.isfinite(loss)
@@ -110,7 +136,8 @@ def main():
     print(json.dumps({"metric": "unet_train_samples_per_sec",
                       "value": round(b / dt, 2), "unit": "samples/s",
                       "batch": b, "step_ms": round(dt * 1000, 1),
-                      "num_live_emas": len(bank.configs), **perf}))
+                      "num_live_emas": len(bank.configs),
+                      "offload_ema": bool(host_ema is not None), **perf}))
 
 
 if __name__ == "__main__":

@@ -270,6 +270,122 @@ class EMABank:
         return [n for n, c in self.configs.items() if c.include_in_validation]
 
 
+class AsyncHostEMA:
+    """Pipelined driver for the bank's cpu_offload profiles.
+
+    The reference updates CPU-offloaded EMA profiles with non-blocking
+    device->host copies (reference: src/training/ema.py:257-270). The JAX
+    analog: ``update(params, ...)`` starts the D2H transfer with
+    ``copy_to_host_async`` and hands the lerp to a single worker thread, so
+    the ~#params fetch overlaps the dispatch/execution of the NEXT train
+    step instead of blocking it. A depth-1 queue bounds staleness to one
+    step; updates apply strictly in submission order (single worker).
+
+    ``profiles`` must only be read after ``sync()``. Worker exceptions are
+    re-raised on the next ``update()``/``sync()`` call.
+    """
+
+    def __init__(self, bank: EMABank, batch_size: int):
+        import queue
+        import threading
+        self.bank = bank
+        self.batch_size = batch_size
+        self.profiles: Optional[Dict[str, Any]] = None
+        self._queue: Any = queue.Queue(maxsize=1)
+        self._error: Optional[BaseException] = None
+        self._pinned_host: Optional[bool] = None  # tri-state: untried/ok/no
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="async-host-ema")
+        self._thread.start()
+
+    def seed(self, params_np) -> None:
+        """Seed all host profiles from a numpy params tree (call before the
+        first update for pre-training-params seeding, like the in-graph
+        EMABank.update which initializes from the init params)."""
+        self.profiles = self.bank.host_init(params_np)
+
+    def restore(self, profiles: Dict[str, Any]) -> None:
+        """Install checkpoint-restored profiles (missing ones are re-seeded
+        from the params of the first post-restore update)."""
+        self.sync()
+        self.profiles = profiles or None
+
+    def update(self, params, total_samples_processed, global_step) -> None:
+        """Submit one EMA step. ``params`` is the (device) params pytree of
+        the JUST-COMPLETED train step; the counter args may be traced-result
+        device scalars — they are only converted on the worker thread so
+        this call never blocks on the step itself."""
+        self._raise_pending()
+        self._queue.put((self._stage_to_host(params),
+                         total_samples_processed, global_step))
+
+    def _stage_to_host(self, params):
+        """Start the D2H transfer without blocking. Preferred: an async
+        device_put into pinned HOST memory, so the queue holds host
+        buffers and does NOT retain an extra device-side params
+        generation while the next step runs (a blocking-queue pipeline
+        holding device refs measurably OOMs 16 GB ref-scale configs).
+        Fallback (no pinned_host support): copy_to_host_async + device
+        refs."""
+        if self._pinned_host is not False:
+            try:
+                s = jax.sharding.SingleDeviceSharding(
+                    jax.devices()[0], memory_kind="pinned_host")
+                out = jax.device_put(params, s)
+                self._pinned_host = True
+                return out
+            except Exception:
+                if self._pinned_host:  # worked before; surface the change
+                    raise
+                self._pinned_host = False
+        for leaf in jax.tree_util.tree_leaves(params):
+            copy_async = getattr(leaf, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+        return params
+
+    def sync(self) -> None:
+        """Block until every submitted update has been applied."""
+        self._queue.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._thread.join()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def _worker(self) -> None:
+        while True:
+            item = self._queue.get()
+            try:
+                if item is None:
+                    return
+                params, tsp, step = item
+                params_np = jax.device_get(params)
+                if self.profiles is None:
+                    # direct-driving seed (one lerp late; Trainer.train()
+                    # seeds from the pre-training params via seed())
+                    self.profiles = self.bank.host_init(params_np)
+                    continue
+                for name in self.bank.offloaded:
+                    if name not in self.profiles:  # partial restore
+                        self.profiles[name] = jax.tree_util.tree_map(
+                            lambda p: np.asarray(p, np.float32).copy(),
+                            params_np)
+                self.profiles = self.bank.host_update(
+                    self.profiles, params_np,
+                    int(tsp) - self.batch_size, self.batch_size,
+                    int(step) - 1)
+            except BaseException as e:  # re-raised on next update()/sync()
+                self._error = e
+            finally:
+                self._queue.task_done()
+
+
 # ---------------------------------------------------------------------------
 # archives + post-hoc reconstruction (host-side, numpy)
 # ---------------------------------------------------------------------------

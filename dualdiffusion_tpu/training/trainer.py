@@ -220,8 +220,11 @@ class Trainer:
         self._resume_skip_batches = 0
         self._pending_sample_losses: Dict[str, float] = {}
         # host-resident EMA profiles (EMAConfig.cpu_offload — the
-        # reference's ema.py:257-270 analog); initialized at first step
-        self.host_ema: Optional[Dict[str, Any]] = None
+        # reference's ema.py:257-270 analog). Driven by an AsyncHostEMA
+        # worker so the per-step device->host params fetch overlaps the
+        # next step instead of blocking it; the host_ema property syncs
+        # before every read.
+        self._async_host_ema = None
         lrc = config.lr_schedule
         self._lr_fn = lr_schedule(lrc.lr_schedule, lrc.learning_rate,
                                   lrc.lr_warmup_steps, lrc.lr_reference_steps,
@@ -365,17 +368,16 @@ class Trainer:
         if self.ema_bank is not None and self.ema_bank.offloaded:
             from ..pipelines.pipeline import _unflatten
             from ..utils import load_safetensors
-            self.host_ema = {}
+            restored_host = {}
             for name in self.ema_bank.offloaded:
                 p = ckpt / self.config.module_name / f"ema_{name}.safetensors"
                 if p.is_file():
                     # copy: safetensors arrays are read-only mmaps, and the
                     # host EMA lerp updates them in place
-                    self.host_ema[name] = jax.tree_util.tree_map(
+                    restored_host[name] = jax.tree_util.tree_map(
                         lambda v: np.array(v, np.float32, copy=True),
                         _unflatten(load_safetensors(p)))
-            if not self.host_ema:
-                self.host_ema = None
+            self.host_ema = restored_host or None
         ts = load_json(ckpt / "trainer_state.json")
         self.epoch = ts.get("epoch", 0)
         self.total_train_hours = ts.get("total_train_hours", 0.0)
@@ -551,34 +553,47 @@ class Trainer:
             self.epoch_batch_idx = 0
         return iter(dl)
 
+    # ---- host-offloaded EMA (async, reference ema.py:257-270) ------------
+    @property
+    def host_ema(self) -> Optional[Dict[str, Any]]:
+        """Host-resident cpu_offload EMA profiles; syncs the async worker
+        so the returned tree reflects every completed train step."""
+        if self._async_host_ema is None:
+            return None
+        self._async_host_ema.sync()
+        return self._async_host_ema.profiles
+
+    @host_ema.setter
+    def host_ema(self, value: Optional[Dict[str, Any]]) -> None:
+        if value is None and self._async_host_ema is None:
+            return
+        self._ensure_async_host_ema().restore(value)
+
+    def _ensure_async_host_ema(self):
+        if self._async_host_ema is None:
+            from .ema import AsyncHostEMA
+            self._async_host_ema = AsyncHostEMA(self.ema_bank,
+                                                self.total_batch_size)
+        return self._async_host_ema
+
     def _update_host_emas(self) -> None:
-        """Per-step update of cpu_offload EMA profiles: one device->host
-        params fetch, numpy lerp (reference: ema.py:257-270 non-blocking
-        CPU copies). The beta uses the PRE-step counters, matching the
-        in-graph EMABank.update semantics exactly."""
+        """Per-step update of cpu_offload EMA profiles. The device->host
+        params fetch + numpy lerp run on the AsyncHostEMA worker thread,
+        overlapped with the next step's dispatch (reference: ema.py:257-270
+        non-blocking CPU copies). The beta uses the PRE-step counters,
+        matching the in-graph EMABank.update semantics exactly."""
         bank = self.ema_bank
         if bank is None or not bank.offloaded:
             return
-        params_np = jax.device_get(self.state.params)
-        if self.host_ema is None:  # direct train_step driving (no train())
-            # seeded post-step: one lerp late vs the in-graph semantics;
-            # train() seeds from the pre-training params instead
-            self.host_ema = bank.host_init(params_np)
-            return
-        for name in bank.offloaded:  # partial restore: seed missing ones
-            if name not in self.host_ema:
-                self.host_ema[name] = jax.tree_util.tree_map(
-                    lambda p: np.asarray(p, np.float32).copy(), params_np)
-        tsp = int(self.state.total_samples_processed)
-        self.host_ema = bank.host_update(
-            self.host_ema, params_np,
-            tsp - self.total_batch_size, self.total_batch_size,
-            int(self.state.global_step) - 1)
+        self._ensure_async_host_ema().update(
+            self.state.params, self.state.total_samples_processed,
+            self.state.global_step)
 
     def _ema_params(self, name: str):
         """The current weights of one EMA profile (device or host)."""
         if self.ema_bank is not None and name in self.ema_bank.offloaded:
-            return None if self.host_ema is None else self.host_ema[name]
+            host = self.host_ema
+            return None if host is None else host.get(name)
         return self.state.ema_state[name]
 
     def _maybe_archive_emas(self, step: int) -> None:

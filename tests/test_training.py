@@ -733,3 +733,53 @@ def test_ema_cpu_offload_validation():
         EMAConfig(name="x", std=0.05, cpu_offload=True, feedback_beta=0.5)
     with _pytest.raises(ValueError):
         EMAConfig(name="x", std=0.05, store_dtype="float16")
+
+
+def test_async_host_ema_matches_sync(key):
+    """The pipelined AsyncHostEMA worker (device->host fetch overlapped
+    with the next step) applies the exact same ordered lerp sequence as
+    direct host_update calls (reference: ema.py:257-270 non-blocking
+    copies)."""
+    from dualdiffusion_tpu.training.ema import (AsyncHostEMA, EMABank,
+                                                EMAConfig)
+
+    bank = EMABank([EMAConfig(name="host", std=0.05, cpu_offload=True)])
+    params = {"w": jax.random.normal(key, (32, 16)),
+              "b": jnp.ones((32,))}
+    batch = 4
+
+    ref = bank.host_init(jax.device_get(params))
+    a = AsyncHostEMA(bank, batch_size=batch)
+    a.seed(jax.device_get(params))
+
+    p = params
+    for step in range(1, 8):
+        p = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jax.random.normal(
+                jax.random.fold_in(key, step), x.shape), p)
+        tsp = step * batch
+        # async submission with device-scalar counters (never blocks on them)
+        a.update(p, jnp.int32(tsp), jnp.int32(step))
+        ref = bank.host_update(ref, jax.device_get(p), tsp - batch, batch,
+                               step - 1)
+    a.sync()
+    np.testing.assert_allclose(a.profiles["host"]["w"], ref["host"]["w"],
+                               rtol=0, atol=0)
+    a.close()
+
+
+def test_async_host_ema_error_propagates():
+    """Worker exceptions surface on the next update()/sync() instead of
+    dying silently on the daemon thread."""
+    from dualdiffusion_tpu.training.ema import (AsyncHostEMA, EMABank,
+                                                EMAConfig)
+    import pytest as _pytest
+
+    bank = EMABank([EMAConfig(name="host", std=0.05, cpu_offload=True)])
+    a = AsyncHostEMA(bank, batch_size=4)
+    a.seed({"w": np.zeros((4,), np.float32)})
+    # mismatched pytree structure -> tree_map raises on the worker
+    a.update({"DIFFERENT": jnp.zeros((4,))}, jnp.int32(4), jnp.int32(1))
+    with _pytest.raises(Exception):
+        a.sync()
+    a.close()
