@@ -256,8 +256,22 @@ class Pipeline:
 
     @classmethod
     def from_pretrained(cls, model_path: Union[str, Path],
-                        load_checkpoints: bool = False,
+                        load_checkpoints: Union[bool, Dict[str, str]] = False,
                         load_emas: Optional[Dict[str, str]] = None) -> "Pipeline":
+        """Load a pipeline from a model directory.
+
+        ``load_checkpoints`` selects per-module weight sources (the
+        reference UI's Model Explorer checkpoint picker,
+        dual_diffusion_pipeline.py:190-215 + nicegui_app.py:84-221):
+        ``False`` loads the model root; ``True`` loads each module's
+        latest checkpoint; a dict maps module name -> selection, where a
+        selection of ``"latest"`` picks the newest checkpoint, ``"root"``/
+        ``""``/``None`` the model root, a step number or full
+        ``<module>_checkpoint-<step>`` directory name a specific one.
+        ``load_emas`` maps module name -> EMA name (or ``phema_<std>`` for
+        post-hoc reconstruction); the EMA is resolved inside the module's
+        selected source directory.
+        """
         model_path = Path(model_path)
         index = load_json(model_path / "model_index.json")
         load_emas = load_emas or {}
@@ -265,8 +279,21 @@ class Pipeline:
         for name, module_type in index["modules"].items():
             get_module_class(module_type)  # fail fast on unknown types
             src = model_path
-            if load_checkpoints:
-                ckpt = cls.get_latest_checkpoint(model_path, name)
+            sel = (load_checkpoints.get(name)
+                   if isinstance(load_checkpoints, dict)
+                   else ("latest" if load_checkpoints else None))
+            if sel not in (None, "", "root"):
+                if sel == "latest":
+                    ckpt = cls.get_latest_checkpoint(model_path, name)
+                else:
+                    cand = str(sel)
+                    if cand.isdigit():
+                        cand = f"{name}_checkpoint-{cand}"
+                    ckpt = model_path / cand
+                    if not ckpt.is_dir():
+                        raise FileNotFoundError(
+                            f"no checkpoint '{sel}' for module '{name}' "
+                            f"in {model_path}")
                 if ckpt is not None:
                     src = ckpt
             module_type_l, config, variables = load_module(

@@ -128,14 +128,26 @@ class ModelServer:
 
     def cmd_get_inventory(self) -> None:
         """Checkpoint + EMA inventory per module (the reference UI's Model
-        Explorer data; reference: dual_diffusion_pipeline.py:190-215)."""
+        Explorer data; reference: dual_diffusion_pipeline.py:190-215 +
+        nicegui_app.py:84-221)."""
+        import jax
         from ..pipelines import Pipeline
         inv = {}
-        for name in self.pipeline.modules:
+        loaded = self.state.get("model_load_options", {})
+        ck_sel = loaded.get("load_checkpoints", False)
+        ema_sel = loaded.get("load_emas", {}) or {}
+        for name, h in self.pipeline.modules.items():
+            sel = (ck_sel.get(name) if isinstance(ck_sel, dict)
+                   else ("latest" if ck_sel else None))
             inv[name] = {
+                "type": h.module_type,
+                "params": int(sum(np.size(x) for x in
+                                  jax.tree_util.tree_leaves(h.variables))),
                 "checkpoints": [p.name for p in
                                 Pipeline.get_checkpoints(self.model_path, name)],
                 "emas": Pipeline.get_available_emas(self.model_path, name),
+                "loaded_checkpoint": sel or "root",
+                "loaded_ema": ema_sel.get(name) or "none",
             }
         self.state["inventory"] = inv
 

@@ -55,11 +55,11 @@ fgla iters <input id="fgla" type="number" value="200" style="width:5em">
 <select id="presets"></select>
 <button onclick="loadPreset()">load</button>
 <input id="presetname" placeholder="name"><button onclick="savePreset()">save</button></fieldset>
-<fieldset><legend>Model</legend>
-<div id="inventory" style="font-family:monospace;font-size:.85em"></div>
-<label><input id="loadckpt" type="checkbox"> load latest checkpoints</label>
-ema <input id="emaname" placeholder="e.g. dae:std0.05" style="width:12em">
-<button onclick="reloadModel()">reload model</button></fieldset>
+<fieldset><legend>Model explorer</legend>
+<table id="explorer" style="font-size:.85em;border-spacing:.4em 0">
+<tr><th align="left">module</th><th align="left">params</th>
+<th align="left">checkpoint</th><th align="left">EMA</th></tr></table>
+<button onclick="reloadModel()">load selected weights</button></fieldset>
 <button onclick="generate()">Generate</button>
 <button class="warn" onclick="abortGen()">Abort</button>
 <div><progress id="prog" value="0" max="100"></progress><span id="status"></span></div>
@@ -116,7 +116,8 @@ async function poll(){
   if (r.preview){ const p=document.getElementById('preview');
     p.src='/api/preview.png?t='+Date.now(); p.style.display='block'; }
   if (r.busy) setTimeout(poll, 1000);
-  else { document.getElementById('preview').style.display='none'; refreshOutputs(); }
+  else { document.getElementById('preview').style.display='none'; refreshOutputs();
+    if (invStale){ invStale=false; refreshInventory(); } }
   document.getElementById('log').textContent = r.log;
 }
 async function refreshOutputs(){
@@ -218,22 +219,42 @@ function setupEditor(id){
       + scroll.getBoundingClientRect().left;
   };
 }
+// model explorer: per-module checkpoint + EMA pickers
+// (reference: nicegui_app.py:84-221 model explorer tab)
+let invModules = [], invStale = false;
+function fmtParams(n){
+  return n>=1e6 ? (n/1e6).toFixed(1)+'M' : n>=1e3 ? (n/1e3).toFixed(1)+'k' : n;
+}
 async function refreshInventory(){
   const r = await (await fetch('/api/inventory')).json();
   if (r.pending){ setTimeout(refreshInventory, 1000); return; }
-  let h='';
-  for (const [m, v] of Object.entries(r))
-    h += `${m}: ckpts [${v.checkpoints.join(', ')}] emas [${v.emas.join(', ')}]\n`;
-  document.getElementById('inventory').textContent = h;
+  invModules = Object.keys(r);
+  const t = document.getElementById('explorer');
+  while (t.rows.length > 1) t.deleteRow(1);
+  for (const [m, v] of Object.entries(r)){
+    const opt=(val,cur)=>`<option${val===cur?' selected':''}>${val}</option>`;
+    const cks=['root','latest'].concat(v.checkpoints||[])
+      .map(c=>opt(c, v.loaded_checkpoint)).join('');
+    const emas=['none'].concat(v.emas||[])
+      .map(e=>opt(e, v.loaded_ema)).join('');
+    t.insertRow().innerHTML = `<td>${m} <span style="color:#789">(${v.type||''})</span></td>
+      <td>${fmtParams(v.params||0)}</td>
+      <td><select id="ck_${m}">${cks}</select></td>
+      <td><select id="ema_${m}">${emas}</select></td>`;
+  }
 }
 async function reloadModel(){
-  const emas = {};
-  const e = document.getElementById('emaname').value;
-  if (e && e.includes(':')){ const [m,n]=e.split(':'); emas[m]=n; }
+  const cks = {}, emas = {};
+  for (const m of invModules){
+    const c = document.getElementById('ck_'+m);
+    if (c && c.value !== 'root') cks[m] = c.value;
+    const e = document.getElementById('ema_'+m);
+    if (e && e.value !== 'none') emas[m] = e.value;
+  }
   const r = await (await fetch('/api/load_model',{method:'POST',
-    body:JSON.stringify({load_checkpoints:document.getElementById('loadckpt').checked,
-                         load_emas:emas})})).json();
+    body:JSON.stringify({load_checkpoints:cks, load_emas:emas})})).json();
   document.getElementById('status').textContent = r.error||'model reloading...';
+  invStale = true;
   poll();
 }
 async function refreshPresets(){
@@ -399,9 +420,11 @@ def _make_handler(ui: UIState):
                     self._json({"error": "busy"}, 409)
                     return
                 opts = json.loads(body)
+                ck = opts.get("load_checkpoints", False)
                 s["model_load_options"] = {
-                    "load_checkpoints": bool(opts.get("load_checkpoints",
-                                                      False)),
+                    # bool (all-latest) or per-module dict from the model
+                    # explorer ({module: "latest"|"<ckpt dir>"|step})
+                    "load_checkpoints": ck if isinstance(ck, dict) else bool(ck),
                     "load_emas": opts.get("load_emas") or {},
                 }
                 s["inventory"] = None  # refresh after reload

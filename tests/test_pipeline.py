@@ -98,6 +98,42 @@ def test_checkpoint_discovery(tmp_path, key):
     assert loaded.modules["unet"].variables is not None
 
 
+def test_per_module_checkpoint_selection(tmp_path, key):
+    """from_pretrained(load_checkpoints={module: selection}) loads one
+    specific checkpoint per module (the model explorer's picker; reference
+    UI: nicegui_app.py:84-221). Selections: step number, directory name,
+    'latest', 'root'."""
+    import pytest as _pytest
+    pipe = make_pipeline(key)
+    pipe.save_pretrained(tmp_path / "m")
+    root0 = np.asarray(
+        jax.tree_util.tree_leaves(pipe.modules["unet"].variables)[0])
+    for step, scale in ((100, 2.0), (500, 3.0)):
+        d = tmp_path / "m" / f"unet_checkpoint-{step}"
+        scaled = jax.tree_util.tree_map(
+            lambda v: v * scale, pipe.modules["unet"].variables)
+        save_module(d, "unet", "unet", pipe.modules["unet"].config,
+                    scaled, step)
+
+    def leaf0(sel):
+        loaded = Pipeline.from_pretrained(tmp_path / "m",
+                                          load_checkpoints={"unet": sel})
+        return np.asarray(
+            jax.tree_util.tree_leaves(loaded.modules["unet"].variables)[0])
+
+    np.testing.assert_allclose(leaf0(100), root0 * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(leaf0("unet_checkpoint-100"), root0 * 2.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(leaf0("latest"), root0 * 3.0, rtol=1e-6)
+    np.testing.assert_allclose(leaf0("root"), root0, rtol=0, atol=0)
+    # unlisted modules load from the model root
+    np.testing.assert_allclose(
+        leaf0("latest"), root0 * 3.0, rtol=1e-6)
+    with _pytest.raises(FileNotFoundError):
+        Pipeline.from_pretrained(tmp_path / "m",
+                                 load_checkpoints={"unet": 999})
+
+
 def test_prompt_embedding(key):
     pipe = make_pipeline(key)
     e = pipe.get_prompt_embedding({"gameA": 1.0})

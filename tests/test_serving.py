@@ -204,3 +204,68 @@ def test_serving_rate_and_save_output(serving):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_serving_model_explorer_checkpoint_ema_load(serving):
+    """Model explorer flow: the inventory reports per-module checkpoints,
+    EMAs, param counts, and the loaded selection; /api/load_model with a
+    per-module dict reloads one module from a specific checkpoint with an
+    EMA (reference: nicegui_app.py:84-221 model explorer +
+    dual_diffusion_pipeline.py:190-215)."""
+    base, state, ui = serving
+    # manufacture a checkpoint + EMA for the unet in the live model dir
+    from dualdiffusion_tpu.pipelines.pipeline import (Pipeline, _flatten,
+                                                      save_module)
+    from dualdiffusion_tpu.utils import save_safetensors
+    model_dir = Path(state["model_name"])
+    pipe = Pipeline.from_pretrained(model_dir)
+    h = pipe.modules["unet"]
+    scaled = jax.tree_util.tree_map(lambda v: v * 2.0, h.variables)
+    ckpt = model_dir / "unet_checkpoint-10"
+    save_module(ckpt, "unet", h.module_type, h.config, scaled, 10)
+    flat = _flatten(h.variables)
+    save_safetensors({k: v * 0.25 for k, v in flat.items()},
+                     ckpt / "unet" / "ema_explorer.safetensors")
+
+    state["inventory"] = None
+    r = _http(f"{base}/api/load_model",
+              {"load_checkpoints": {"unet": "unet_checkpoint-10"},
+               "load_emas": {"unet": "explorer"}})
+    assert r.get("ok"), r
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        st = _http(f"{base}/api/status")
+        if not st["busy"]:
+            break
+        time.sleep(0.3)
+    assert state.get("error") is None, state.get("error")
+
+    # inventory reflects the new checkpoint and the loaded selection
+    for _ in range(100):
+        inv = _http(f"{base}/api/inventory")
+        if not (isinstance(inv, dict) and inv.get("pending")):
+            break
+        time.sleep(0.2)
+    assert "unet_checkpoint-10" in inv["unet"]["checkpoints"]
+    assert inv["unet"]["loaded_checkpoint"] == "unet_checkpoint-10"
+    assert inv["unet"]["loaded_ema"] == "explorer"
+    assert inv["unet"]["params"] > 0 and inv["unet"]["type"]
+
+    # the served module weights are the checkpoint dir's EMA file (which
+    # REPLACES the module weights: x0.25 of the root weights)
+    state["module_name"] = "unet"
+    state["cmd"] = "get_module_state_dict"
+    t0 = time.time()
+    while state.get("cmd") is not None and time.time() - t0 < 60:
+        time.sleep(0.2)
+    sd = state["module_state_dict"]
+    k0 = sorted(flat)[0]
+    np.testing.assert_allclose(sd[k0], np.asarray(flat[k0]) * 0.25,
+                               rtol=1e-6)
+
+    # restore the plain model for any later test in this module
+    state["model_load_options"] = {}
+    state["cmd"] = "load_model"
+    t0 = time.time()
+    while state.get("cmd") is not None and time.time() - t0 < 120:
+        time.sleep(0.3)
