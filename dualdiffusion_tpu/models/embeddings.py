@@ -13,6 +13,37 @@ environment, so the encoder is gated on locally available weights
 precomputed dataset artifacts (SURVEY.md §7.4 mitigation), which matches
 the reference's own training path (load_datatypes=["latents",
 "audio_embeddings"]).
+
+COMPATIBILITY STATEMENT (embedding-space fidelity vs the reference):
+
+* Model 1 is identical: HF ``laion/larger_clap_music`` via
+  ``transformers.ClapModel`` (reference clap.py:72-75). Its 512-d half of
+  every embedding matches the reference bit-for-bit given the same
+  checkpoint revision.
+* Model 2 is a documented SUBSTITUTION: the reference loads a
+  ``laion_clap`` HTSAT-base checkpoint through the ``laion_clap`` package
+  (clap.py:77-81), which is not installable here; this framework uses the
+  HF ``laion/clap-htsat-unfused`` release of the same architecture
+  instead. The two checkpoints do NOT share weights, so the second 512-d
+  half lives in a different embedding space.
+* Consequences: a reference-produced ``dataset_embeddings.safetensors``
+  REMAINS USABLE as-is — training/sampling only consume stored vectors
+  (Pipeline.get_prompt_embedding, dataloader window interpolation) and
+  never re-encode. What must not be mixed is ENCODERS within one dataset:
+  appending samples encoded here to a reference-encoded dataset (or
+  label-scoring across the two) compares vectors from different spaces in
+  the 512..1024 half.
+* Migration/converter story: there is no linear map between CLAP
+  checkpoint spaces; the supported conversion is re-encoding the dataset
+  embedding artifacts with one chosen encoder (``python dataset_process.py
+  --stages encode,emb-db``). ``scripts/capture_clap_golden.py`` captures
+  goldens wherever weights exist; ``tests/test_models_extra.py`` verifies
+  the surrounding math (chunking/downmix/normalize/concat) against the
+  reference's own code with injected deterministic models, and checks the
+  committed golden when present.
+* Minor numeric difference: audio resampling to 48 kHz uses linear
+  interpolation here vs torchaudio's windowed-sinc kernel
+  (clap.py:96-97); goldens are captured at native 48 kHz to exclude it.
 """
 
 from __future__ import annotations
@@ -29,7 +60,13 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class CLAPConfig:
-    model_paths: Tuple[str, ...] = ("laion/larger_clap_music",)
+    # Dual-model default mirrors the reference's 1024-d concatenated space
+    # (clap.py:69-81): model 1 identical, model 2 the documented
+    # clap-htsat-unfused substitution for the laion_clap HTSAT-base
+    # checkpoint (see the module docstring's compatibility statement).
+    # The 1024-d output matches the models' in_channels_emb default.
+    model_paths: Tuple[str, ...] = ("laion/larger_clap_music",
+                                    "laion/clap-htsat-unfused")
     sample_rate: int = 48000
     audio_embedding_duration: float = 10.0   # seconds per chunk
     embedding_dim: int = 512                 # per model
@@ -68,6 +105,16 @@ def dedupe_embeddings(embeddings: np.ndarray, threshold: float = 0.99,
         if all(sim[i, j] < threshold for j in keep):
             keep.append(i)
     return np.asarray(keep, np.int64)
+
+
+def mp_normalize(x: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    """The reference's magnitude-preserving normalize over the last dim
+    (mp_tools.py:42-49): unit RMS per element, i.e. L2 norm == sqrt(D) —
+    NOT unit L2. Embeddings stored by the reference (dataset_embeddings,
+    per-sample CLAP chunks) carry this scale; matching it keeps this
+    framework's encoder output mixable with reference artifacts."""
+    norm = np.linalg.norm(x, axis=-1, keepdims=True)
+    return (x / (eps + norm / np.sqrt(x.shape[-1]))).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -145,8 +192,9 @@ class CLAPEmbedding:
                               sampling_rate=self.config.sample_rate,
                               return_tensors="pt")
                 feats = model.get_audio_features(**inputs).numpy()
-            feats = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
-            outs.append(feats)
+            # reference scale: mp normalize (clap.py:107-108 wraps both
+            # models' features with mp_tools.normalize)
+            outs.append(mp_normalize(feats))
         return np.concatenate(outs, axis=-1)
 
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
@@ -158,6 +206,5 @@ class CLAPEmbedding:
             with torch.no_grad():
                 inputs = proc(text=list(texts), return_tensors="pt", padding=True)
                 feats = model.get_text_features(**inputs).numpy()
-            feats = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
-            outs.append(feats)
+            outs.append(mp_normalize(feats))  # reference scale (clap.py:119-120)
         return np.concatenate(outs, axis=-1)

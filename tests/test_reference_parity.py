@@ -1359,3 +1359,108 @@ def test_mel_cascade_parity():
         ref_out = ref_out[-1]
     np.testing.assert_allclose(np.asarray(my_out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_clap_normalize_concat_parity(ref_modules):
+    """Drive the REFERENCE's CLAP_Embedding.encode_audio with injected
+    deterministic stand-in models and this framework's CLAPEmbedding with
+    equivalent stand-ins: the surrounding math — mono downmix, 10 s chunk
+    truncation, per-model mp-normalize (RMS-1 scale, NOT unit L2), and
+    1024-d concatenation — must produce IDENTICAL embeddings
+    (clap.py:85-110; the frozen model weights themselves are the
+    documented substitution, see models/embeddings.py docstring)."""
+    del ref_modules  # fixture only for stubs + sys.path
+    from modules.embeddings.clap import CLAP_Config, CLAP_Embedding
+
+    from dualdiffusion_tpu.models.embeddings import CLAPConfig, CLAPEmbedding
+
+    sr = 48000
+    chunk = 10 * sr
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((2, int(chunk * 2.6))).astype(np.float32)
+
+    # deterministic "models": chunk (n, 480000) -> features (n, 512)
+    def feats1(t):
+        return t[:, :512] * 3.0 + 0.25
+
+    def feats2(t):
+        return t[:, 512:1024] * -2.0 + 0.5
+
+    # ---- reference side ----
+    ref = CLAP_Embedding(CLAP_Config())
+
+    class _Proc:
+        def __call__(self, audios=None, return_tensors=None,
+                     sampling_rate=None, **kw):
+            return {"input_features": torch.stack(
+                [torch.as_tensor(np.asarray(a)) for a in audios])}
+
+    class _M1:
+        def get_audio_features(self, f):
+            return feats1(f)
+
+    class _M2:
+        def get_audio_embedding_from_data(self, a, use_tensor=True):
+            return feats2(a)
+
+    ref.clap_processor = _Proc()
+    ref.clap_model1 = _M1()
+    ref.clap_model2 = _M2()
+    ref_out = ref.encode_audio(torch.from_numpy(audio), sr).numpy()
+
+    # ---- this framework ----
+    ours = CLAPEmbedding(CLAPConfig())
+
+    class _OurProc:
+        def __call__(self, audios=None, sampling_rate=None,
+                     return_tensors=None, **kw):
+            return {"input_features": torch.stack(
+                [torch.as_tensor(np.asarray(a)) for a in audios])}
+
+    class _OurM:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def get_audio_features(self, input_features):
+            return self.fn(input_features)
+
+    ours._models = [(_OurM(feats1), _OurProc()), (_OurM(feats2), _OurProc())]
+    our_out = ours.encode_audio(audio, sr)
+
+    assert ref_out.shape == our_out.shape == (2, 1024)
+    # the reference half-embeddings are RMS-1 scaled (L2 ~ sqrt(512)):
+    # catches a unit-L2 normalization substitution immediately
+    assert abs(np.linalg.norm(ref_out[0, :512]) - np.sqrt(512)) < 1.0
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
+
+
+def test_clap_golden():
+    """Verify CLAPEmbedding against the captured golden
+    (scripts/capture_clap_golden.py). Skipped unless both the golden file
+    and the CLAP weights are locally available (zero-egress builds have
+    neither; run the capture script wherever weights exist)."""
+    golden_path = (Path(__file__).parent / "goldens" /
+                   "clap_golden.safetensors")
+    if not golden_path.is_file():
+        pytest.skip("no CLAP golden captured (see capture_clap_golden.py)")
+    import sys as _sys
+    _sys.path.insert(0, str(Path(__file__).parents[1] / "scripts"))
+    from capture_clap_golden import FIXTURE_TEXTS, fixture_clip
+
+    from dualdiffusion_tpu.models.embeddings import CLAPEmbedding
+    from dualdiffusion_tpu.utils import load_safetensors
+
+    enc = CLAPEmbedding()
+    try:
+        enc._load()
+    except RuntimeError as e:
+        pytest.skip(f"CLAP weights unavailable: {e}")
+    golden = load_safetensors(golden_path)
+    audio_emb = enc.encode_audio(fixture_clip(), 48000)
+    np.testing.assert_allclose(audio_emb,
+                               np.asarray(golden["audio_embeddings"]),
+                               atol=1e-4)
+    text_emb = enc.encode_text(FIXTURE_TEXTS)
+    np.testing.assert_allclose(text_emb,
+                               np.asarray(golden["text_embeddings"]),
+                               atol=1e-4)
