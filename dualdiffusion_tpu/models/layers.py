@@ -131,8 +131,50 @@ class MPConv(nn.Module):
             out = out + bias.astype(out.dtype)
         return out
 
+    def _grouped_packed_conv(self, x: jnp.ndarray,
+                             w: jnp.ndarray) -> jnp.ndarray:
+        """Grouped 2D conv as a python loop of per-group W-PACKED dense
+        convs (DD_GROUPED_PACKED_CONV=1).
+
+        The per-tap grouped-matmul path materializes kh*kw shifted copies
+        of the activation per conv (round-4 ref-scale sampler profile:
+        4.6 s of async slice DMA vs 1 s of conv compute in a 4.6 s call);
+        XLA's native grouped lowering is 2x slower still (9.33 s vs
+        4.56 s, BASELINE.md r4). Each group's cig<128 channels instead get
+        W-folded to a dense 128-lane layout and run through XLA's conv
+        emitter — the lowering that measured 24-38% MFU on the DDEC's
+        low-channel grids. Semantics identical to
+        conv_general_dilated(feature_group_count=g) (group-major channel
+        blocks); per-group outputs concat back to merged NHWC."""
+        g = self.groups
+        cig = self.in_channels // g
+        cog = self.out_channels // g
+        kh, kw = self.kernel
+        wdim = x.shape[-2]
+        p = max(128 // max(cig, 1), 1)
+        while p > 1 and (wdim % p or kw > 2 * p + 1):
+            p //= 2
+        outs = []
+        for gi in range(g):
+            xg = x[..., gi * cig:(gi + 1) * cig]
+            wg = w[gi * cog:(gi + 1) * cog]           # (cog, cig, kh, kw)
+            if p == 1:  # >=128 lanes already: plain dense conv per group
+                rhs = jnp.transpose(wg, (2, 3, 1, 0)).astype(x.dtype)
+                dn = jax.lax.conv_dimension_numbers(
+                    xg.shape, rhs.shape, ("NHWC", "HWIO", "NHWC"))
+                og = jax.lax.conv_general_dilated(
+                    xg, rhs, (1, 1), [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                    dimension_numbers=dn)
+            else:
+                xp = xg.reshape(xg.shape[:-2] + (wdim // p, p * cig))
+                og = self._packed_conv(xp, wg, p, in_c=cig, out_c=cog)
+                og = og.reshape(x.shape[:-1] + (cog,))
+            outs.append(og)
+        return jnp.concatenate(outs, axis=-1)
+
     def _packed_conv(self, x: jnp.ndarray, w: jnp.ndarray,
-                     p: int) -> jnp.ndarray:
+                     p: int, in_c: Optional[int] = None,
+                     out_c: Optional[int] = None) -> jnp.ndarray:
         """W-packed 2D conv: exactly the unpacked conv, on a W-folded
         layout that keeps the TPU's 128-lane dim dense.
 
@@ -145,15 +187,22 @@ class MPConv(nn.Module):
         utilization for C_in < 128 — low-channel UNet levels (the DDEC's
         256x5504 grid at 32 ch) were measured at 4x lane padding waste and
         ~150 layout copies per forward without it.
+
+        ``in_c``/``out_c`` override the module channel counts for the
+        per-group calls from _grouped_packed_conv.
         """
-        assert self.groups == 1 and self.stride == 1 and len(self.kernel) == 2
+        if in_c is None:
+            assert self.groups == 1
+        in_c = in_c if in_c is not None else self.in_channels
+        out_c = out_c if out_c is not None else self.out_channels
+        assert self.stride == 1 and len(self.kernel) == 2
         kh, kw = self.kernel
         whwio = jnp.transpose(w, (2, 3, 1, 0)).astype(x.dtype)  # (kh,kw,Ci,Co)
         cross = 3 if kw > 1 else 1
         assert kw <= 2 * p + 1, "kernel reach exceeds one pack"
         sel = jnp.asarray(_pack_sel(kw, cross, p), x.dtype)
         w_exp = jnp.einsum("yxio,xwab->ywaibo", whwio, sel).reshape(
-            kh, cross, p * self.in_channels, p * self.out_channels)
+            kh, cross, p * in_c, p * out_c)
         import os
         if os.environ.get("DD_PACKED_CONV_MATMUL", "0") != "0":
             # per-tap matmuls instead of conv_general_dilated — KEPT AS AN
@@ -198,6 +247,11 @@ class MPConv(nn.Module):
             # lowering for 2D merged-layout calls (A/B probe: the round-3
             # dense-lowering measurement used per-call-sync timing).
             import os
+            if (os.environ.get("DD_GROUPED_PACKED_CONV", "0") == "1"
+                    and nd == 2 and self.stride == 1 and not grouped_in
+                    and not grouped_out and self.w_pad_mode != "reflect"
+                    and min(self.kernel) > 1):
+                return self._grouped_packed_conv(x, w)
             if not (os.environ.get("DD_GROUPED_CONV_NATIVE", "0") == "1"
                     and not grouped_in and not grouped_out and nd == 2
                     and self.w_pad_mode != "reflect"):

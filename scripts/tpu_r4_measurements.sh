@@ -19,5 +19,7 @@ run dae_probe python scripts/dae_probe.py --packs 0,128 --reps 2 --scan 8
 run sampler_prof python scripts/stage_profile.py --stage sampler --scale ref_scale --topk 30
 # 4. Same sampler with XLA-native grouped convs (A/B the round-3
 #    dense-lowering claim with honest timing)
-DD_GROUPED_CONV_NATIVE=1 run sampler_native python scripts/stage_profile.py --stage sampler --scale ref_scale --topk 30
+run sampler_native env DD_GROUPED_CONV_NATIVE=1 python scripts/stage_profile.py --stage sampler --scale ref_scale --topk 30
+# 5. SPSI phase-init TPU timing (VERDICT item 8: BASELINE "TPU timing pending")
+run fgla_probe python scripts/fgla_probe.py --reps 2
 echo "ALL DONE $(date)" > /tmp/tpur4_status.log

@@ -280,6 +280,46 @@ def test_grouped_conv_matches_lax_conv(rng):
                                    rtol=2e-5, atol=2e-5), (kernel, stride)
 
 
+def test_grouped_packed_conv_matches(rng, monkeypatch):
+    """DD_GROUPED_PACKED_CONV=1 (per-group W-packed dense convs — the
+    round-4 sampler lowering candidate) must equal the per-tap grouped
+    path / lax feature_group_count exactly, across pack factors (cig 16 ->
+    p=8, 32 -> p=4, 128 -> p=1 dense-per-group) and non-divisible widths
+    (p reduced until W % p == 0)."""
+    import jax
+    import jax.numpy as jnp
+    from dualdiffusion_tpu.models.layers import MPConv
+
+    cases = [  # (C_in, C_out, groups, W)
+        (128, 256, 8, 12),    # cig 16, p 8 -> reduced to 4 (12 % 8 != 0)
+        (256, 512, 8, 16),    # cig 32, p 4
+        (512, 256, 8, 16),    # cig 64, p 2
+        (512, 512, 4, 10),    # cig 128, p 1 (dense per group)
+        (96, 96, 3, 14),      # cig 32, p 4 -> reduced to 2
+    ]
+    for ci, co, g, w_dim in cases:
+        x = jnp.asarray(rng.standard_normal((2, 6, w_dim, ci)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal(
+            (co, ci // g, 3, 3)).astype(np.float32))
+        conv = MPConv(ci, co, (3, 3), groups=g)
+        want = conv._grouped_conv(x, w)
+        got = conv._grouped_packed_conv(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-4)
+
+    # env routing: __call__ dispatches to the packed path when enabled
+    monkeypatch.setenv("DD_GROUPED_PACKED_CONV", "1")
+    conv = MPConv(64, 64, (3, 3), groups=8)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (1, 4, 8, 64))
+    v = conv.init(key, x)
+    enabled = conv.apply(v, x)
+    monkeypatch.setenv("DD_GROUPED_PACKED_CONV", "0")
+    base = conv.apply(v, x)
+    np.testing.assert_allclose(np.asarray(enabled), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_grouped_conv_chain_layout(rng):
     """grouped_out -> grouped_in chaining matches two merged-NHWC grouped
     convs exactly (the batch-major layout is a pure relayout)."""
