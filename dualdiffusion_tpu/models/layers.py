@@ -154,6 +154,9 @@ class MPConv(nn.Module):
         p = max(128 // max(cig, 1), 1)
         while p > 1 and (wdim % p or kw > 2 * p + 1):
             p //= 2
+        import os
+        if (p > 1 and os.environ.get("DD_GROUPED_PACKED_CONV") == "2"):
+            return self._grouped_packed_fused(x, w, p)
         outs = []
         for gi in range(g):
             xg = x[..., gi * cig:(gi + 1) * cig]
@@ -171,6 +174,47 @@ class MPConv(nn.Module):
                 og = og.reshape(x.shape[:-1] + (cog,))
             outs.append(og)
         return jnp.concatenate(outs, axis=-1)
+
+    def _grouped_packed_fused(self, x: jnp.ndarray, w: jnp.ndarray,
+                              p: int) -> jnp.ndarray:
+        """All groups in ONE W-packed native grouped conv
+        (DD_GROUPED_PACKED_CONV=2).
+
+        The native feature_group_count lowering measured 2x slower than
+        per-tap matmuls at cig=32 per group (the emitter pads each group
+        to the 128-lane tile: 4x waste). W-packing each group to exactly
+        p*cig == 128 dense lanes removes that padding, so one grouped
+        conv runs all groups with zero lane waste and a single activation
+        relayout instead of kh*kw materialized tap shifts. Channel order:
+        input (g, j, c), output (g, j, c) — inverse-transposed back to
+        merged group-major NHWC."""
+        g = self.groups
+        cig = self.in_channels // g
+        cog = self.out_channels // g
+        kh, kw = self.kernel
+        b, h, wdim, _ = x.shape
+        cross = 3 if kw > 1 else 1
+        sel = jnp.asarray(_pack_sel(kw, cross, p), x.dtype)
+        xg = x.reshape(b, h, wdim // p, p, g, cig)
+        xg = jnp.transpose(xg, (0, 1, 2, 4, 3, 5)).reshape(
+            b, h, wdim // p, g * p * cig)
+        wt = w.reshape(g, cog, cig, kh, kw)
+        whwio = jnp.transpose(wt, (3, 4, 0, 2, 1)).astype(x.dtype)
+        # per-group packed kernels (g, kh, cross, p*cig, p*cog), stacked
+        # group-major on the O dim for feature_group_count semantics
+        w_exp = jnp.einsum("yxgio,xwab->gywaibo", whwio, sel).reshape(
+            g, kh, cross, p * cig, p * cog)
+        rhs = jnp.transpose(w_exp, (1, 2, 3, 0, 4)).reshape(
+            kh, cross, p * cig, g * p * cog)
+        dn = jax.lax.conv_dimension_numbers(xg.shape, rhs.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            xg, rhs, (1, 1), [(kh // 2, kh // 2), (cross // 2, cross // 2)],
+            dimension_numbers=dn, feature_group_count=g)
+        out = out.reshape(b, h, wdim // p, g, p, cog)
+        out = jnp.transpose(out, (0, 1, 2, 4, 3, 5)).reshape(
+            b, h, wdim, g * cog)
+        return out
 
     def _packed_conv(self, x: jnp.ndarray, w: jnp.ndarray,
                      p: int, in_c: Optional[int] = None,
@@ -247,7 +291,14 @@ class MPConv(nn.Module):
             # lowering for 2D merged-layout calls (A/B probe: the round-3
             # dense-lowering measurement used per-call-sync timing).
             import os
-            if (os.environ.get("DD_GROUPED_PACKED_CONV", "0") == "1"
+            if (os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
+                    and nd == 2 and self.stride == 1 and not grouped_in
+                    and not grouped_out and self.w_pad_mode != "reflect"):
+                from ..ops.pallas.grouped_conv import (grouped_conv2d_3x3,
+                                                       supported)
+                if supported(x.shape, self.kernel, self.stride, self.groups):
+                    return grouped_conv2d_3x3(x, w, self.groups)
+            if (os.environ.get("DD_GROUPED_PACKED_CONV", "0") in ("1", "2")
                     and nd == 2 and self.stride == 1 and not grouped_in
                     and not grouped_out and self.w_pad_mode != "reflect"
                     and min(self.kernel) > 1):

@@ -1,0 +1,184 @@
+"""Implicit-GEMM 3x3 grouped conv Pallas kernel (stride 1, same-pad).
+
+Motivation (round-4 ref-scale sampler profile, BASELINE.md): every XLA
+lowering of the EDM2 MLP grouped convs plateaus at ~29 ms per CFG forward —
+the per-tap dot path materializes kh*kw shifted activation copies in HBM
+and runs K=cig(<=160) dots; the native feature_group_count emitter pads
+each group to the 128-lane tile; per-group W-packed dense convs trade the
+tap shifts for pack/unpack relayouts. This kernel builds the kh*kw tap
+patches IN VMEM (sublane-stacked into one K = 9*cig contraction) so the
+activation is read from HBM ~once and the MXU sees one dense
+(cog x K) @ (K x W) matmul per output row.
+
+Data layout (chosen so the 128-lane dim is the wide W axis and the group
+slice is a major-dim index, not a lane slice):
+
+  x  (B, H, W, G*cig) NHWC  ->  xt (G, B, H+2, cig, W+2)   [pre, XLA ops]
+  w  (G*cog, cig, 3, 3)     ->  wt (G, 9*cig, cog)  K order (dy, dx, cig)
+  kernel out (G, B, H, cog, W)  ->  NHWC (B, H, W, G*cog)  [post]
+
+Grid: (G, B, H/TH). Each program DMAs a (TH+2, cig, W+2) slab HBM->VMEM,
+then per output row h stacks the 9 lane-shifted tap slices into a
+(9*cig, W) patch scratch and runs one MXU dot with the group's kernel
+matrix. groups == 1 (dense low-channel convs, e.g. the DDEC grid) is the
+same kernel with G = 1.
+
+Training support: `grouped_conv2d_3x3` wraps the kernel in a custom_vjp
+whose backward runs the VJP of the mathematically-identical
+lax.conv_general_dilated(feature_group_count) (the kernels compute the
+same function; fp32-accumulated bf16 in both).
+
+Reference semantics: torch grouped Conv2d as used by the EDM2 MLP blocks
+(reference: src/modules/mp_tools.py:332-378 MPConv with groups, e.g.
+unet_edm2_*.py mlp_groups=8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_th(h: int) -> int:
+    for th in (8, 4, 2):
+        if h % th == 0:
+            return th
+    return 1
+
+
+def _kernel(xt_hbm, wt_ref, out_ref, slab_ref, patch_ref, sem,
+            *, th: int, cig: int, w_out: int):
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    ht = pl.program_id(2)
+
+    # xt_hbm is (G*B, H+2, cig, W+2): one leading index + one dynamic
+    # slice (multi-index .at chains on HBM refs trip the Mosaic lowering)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[g * pl.num_programs(1) + b].at[pl.ds(ht * th, th + 2)],
+        slab_ref, sem)
+    dma.start()
+    dma.wait()
+
+    w2 = wt_ref[0]                                   # (9*cig, cog)
+    for h in range(th):
+        for dy in range(3):
+            for dx in range(3):
+                k0 = (dy * 3 + dx) * cig
+                patch_ref[pl.ds(k0, cig), :] = \
+                    slab_ref[h + dy, :, pl.ds(dx, w_out)]
+        acc = jax.lax.dot_general(
+            w2, patch_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (cog, W)
+        out_ref[0, 0, h] = acc.astype(out_ref.dtype)
+
+
+def _pallas_grouped_conv(xt: jnp.ndarray, wt: jnp.ndarray, th: int,
+                         w_out: int, out_dtype) -> jnp.ndarray:
+    """xt (G, B, H+2, cig, Wlanes), wt (G, 9*cig, cog) -> (G, B, H, cog, W).
+
+    ``Wlanes`` is the 128-aligned padded W (1 halo column each side +
+    tail zeros); ``w_out`` is the true output width."""
+    gg, b, hp2, cig, wp2 = xt.shape
+    h = hp2 - 2
+    cog = wt.shape[-1]
+    kern = functools.partial(_kernel, th=th, cig=cig, w_out=w_out)
+    interpret = jax.default_backend() != "tpu"
+    xt_flat = xt.reshape(gg * b, hp2, cig, wp2)
+    return pl.pallas_call(
+        kern,
+        grid=(gg, b, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # xt stays in HBM
+            pl.BlockSpec((1, 9 * cig, cog), lambda g, b_, t: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, cog, w_out),
+                               lambda g, b_, t: (g, b_, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((gg, b, h, cog, w_out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, cig, wp2), xt.dtype),   # slab
+            pltpu.VMEM((9 * cig, w_out), xt.dtype),     # K-stacked patches
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * gg * b * h * w_out * 9 * cig * cog,
+            bytes_accessed=(xt.size + gg * b * h * cog * w_out)
+            * xt.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt_flat, wt)
+
+
+def _lax_reference(x: jnp.ndarray, w: jnp.ndarray,
+                   groups: int) -> jnp.ndarray:
+    rhs = jnp.transpose(w, (2, 3, 1, 0)).astype(x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, rhs.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, rhs, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+        feature_group_count=groups)
+
+
+def _fwd_impl(x: jnp.ndarray, w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    b, h, wdim, c = x.shape
+    co = w.shape[0]
+    cig, cog = c // groups, co // groups
+    th = _pick_th(h)
+    xt = x.reshape(b, h, wdim, groups, cig)
+    xt = jnp.transpose(xt, (3, 0, 1, 4, 2))          # (G, B, H, cig, W)
+    # W padding: 1 halo column each side, then up to a 128-lane multiple —
+    # Mosaic requires DMA slice shapes 128-aligned on the lane dim
+    w_lanes = -(-(wdim + 2) // 128) * 128
+    xt = jnp.pad(xt, [(0, 0), (0, 0), (1, 1), (0, 0),
+                      (1, w_lanes - wdim - 1)])
+    wt = w.reshape(groups, cog, cig, 3, 3)
+    wt = jnp.transpose(wt, (0, 3, 4, 2, 1)).reshape(
+        groups, 9 * cig, cog).astype(x.dtype)
+    out = _pallas_grouped_conv(xt, wt, th, wdim, x.dtype)
+    out = jnp.transpose(out, (1, 2, 4, 0, 3)).reshape(b, h, wdim, co)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grouped_conv2d_3x3(x: jnp.ndarray, w: jnp.ndarray,
+                       groups: int = 1) -> jnp.ndarray:
+    """3x3 stride-1 same-pad (grouped) conv, NHWC x (C_out, C_in/g, 3, 3).
+
+    Forward runs the Pallas implicit-GEMM kernel; gradients are the VJP of
+    the identical lax grouped conv.
+    """
+    return _fwd_impl(x, w, groups)
+
+
+def _vjp_fwd(x, w, groups):
+    return _fwd_impl(x, w, groups), (x, w)
+
+
+def _vjp_bwd(groups, res, g):
+    x, w = res
+    _, pullback = jax.vjp(lambda xx, ww: _lax_reference(xx, ww, groups),
+                          x, w)
+    return pullback(g)
+
+
+grouped_conv2d_3x3.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supported(x_shape: Tuple[int, ...], kernel: Tuple[int, ...],
+              stride: int, groups: int, min_w: int = 96) -> bool:
+    """Routing predicate for MPConv: 4D NHWC, 3x3, stride 1, wide W."""
+    if len(x_shape) != 4 or tuple(kernel) != (3, 3) or stride != 1:
+        return False
+    b, h, wdim, c = x_shape
+    if wdim < min_w or h < 2:
+        return False
+    if c % groups:
+        return False
+    return True

@@ -294,6 +294,15 @@ class AsyncHostEMA:
         self._queue: Any = queue.Queue(maxsize=1)
         self._error: Optional[BaseException] = None
         self._pinned_host: Optional[bool] = None  # tri-state: untried/ok/no
+        # pack the whole params tree into ONE fp32 device buffer before
+        # the D2H fetch: a tree-wise device_get issues one transfer per
+        # leaf, and per-transfer latency (not bandwidth) dominates on
+        # remote/tunneled runtimes (measured 55 s/step for ~700 leaves /
+        # 1.4 GB at ref scale vs seconds for the packed buffer)
+        self._pack_fn = jax.jit(
+            lambda leaves: jnp.concatenate(
+                [jnp.ravel(x).astype(jnp.float32) for x in leaves]))
+        self._layout = None  # (treedef, shapes, sizes) of the packed tree
         self._thread = threading.Thread(target=self._worker, daemon=True,
                                         name="async-host-ema")
         self._thread.start()
@@ -316,33 +325,48 @@ class AsyncHostEMA:
         device scalars — they are only converted on the worker thread so
         this call never blocks on the step itself."""
         self._raise_pending()
-        self._queue.put((self._stage_to_host(params),
+        self._queue.put((self._stage_to_host(params), self._layout,
                          total_samples_processed, global_step))
 
     def _stage_to_host(self, params):
-        """Start the D2H transfer without blocking. Preferred: an async
-        device_put into pinned HOST memory, so the queue holds host
-        buffers and does NOT retain an extra device-side params
-        generation while the next step runs (a blocking-queue pipeline
-        holding device refs measurably OOMs 16 GB ref-scale configs).
-        Fallback (no pinned_host support): copy_to_host_async + device
-        refs."""
+        """Start the D2H transfer without blocking: pack the tree into
+        one fp32 buffer on device (one fused concat, ~2 HBM passes), then
+        an async device_put of that single array into pinned HOST memory,
+        so (a) the fetch is ONE transfer instead of one per leaf and (b)
+        the queue holds a host buffer and does NOT retain an extra
+        device-side params generation while the next step runs (a
+        blocking-queue pipeline holding device refs measurably OOMs 16 GB
+        ref-scale configs). Fallback when pinned_host is unsupported:
+        copy_to_host_async on the packed buffer + its device ref."""
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        if self._layout is None or self._layout[0] != treedef:
+            self._layout = (treedef, [l.shape for l in leaves],
+                            [int(np.prod(l.shape)) for l in leaves])
+        packed = self._pack_fn(leaves)
         if self._pinned_host is not False:
             try:
                 s = jax.sharding.SingleDeviceSharding(
                     jax.devices()[0], memory_kind="pinned_host")
-                out = jax.device_put(params, s)
+                out = jax.device_put(packed, s)
                 self._pinned_host = True
                 return out
             except Exception:
                 if self._pinned_host:  # worked before; surface the change
                     raise
                 self._pinned_host = False
-        for leaf in jax.tree_util.tree_leaves(params):
-            copy_async = getattr(leaf, "copy_to_host_async", None)
-            if copy_async is not None:
-                copy_async()
-        return params
+        copy_async = getattr(packed, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+        return packed
+
+    def _unpack(self, packed_np, layout):
+        """Packed fp32 host buffer -> params tree of zero-copy views."""
+        treedef, shapes, sizes = layout
+        views, ofs = [], 0
+        for shape, size in zip(shapes, sizes):
+            views.append(packed_np[ofs:ofs + size].reshape(shape))
+            ofs += size
+        return jax.tree_util.tree_unflatten(treedef, views)
 
     def sync(self) -> None:
         """Block until every submitted update has been applied."""
@@ -364,8 +388,9 @@ class AsyncHostEMA:
             try:
                 if item is None:
                     return
-                params, tsp, step = item
-                params_np = jax.device_get(params)
+                packed, layout, tsp, step = item
+                params_np = self._unpack(
+                    np.asarray(jax.device_get(packed), np.float32), layout)
                 if self.profiles is None:
                     # direct-driving seed (one lerp late; Trainer.train()
                     # seeds from the pre-training params via seed())

@@ -96,16 +96,29 @@ def main():
 
     import os
     variants = {}
-    for name in args.variants.split(","):
+    for raw_name in args.variants.split(","):
+        # '#N' suffix = repeat alias (sandwich runs expose tunnel drift:
+        # base,gpallas16,base#2)
+        name = raw_name.split("#")[0]
         if name == "base":
-            variants[name] = (uvars, {})
+            variants[raw_name] = (uvars, {})
         elif name == "bf16":
-            variants[name] = (cast_tree(uvars, jnp.bfloat16), {})
+            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16), {})
         elif name == "gpacked":
-            variants[name] = (uvars, {"DD_GROUPED_PACKED_CONV": "1"})
+            variants[raw_name] = (uvars, {"DD_GROUPED_PACKED_CONV": "1"})
         elif name == "gpacked16":
-            variants[name] = (cast_tree(uvars, jnp.bfloat16),
+            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16),
                               {"DD_GROUPED_PACKED_CONV": "1"})
+        elif name == "gfused":
+            variants[raw_name] = (uvars, {"DD_GROUPED_PACKED_CONV": "2"})
+        elif name == "gfused16":
+            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16),
+                              {"DD_GROUPED_PACKED_CONV": "2"})
+        elif name == "gpallas":
+            variants[raw_name] = (uvars, {"DD_GROUPED_PALLAS_CONV": "1"})
+        elif name == "gpallas16":
+            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16),
+                              {"DD_GROUPED_PALLAS_CONV": "1"})
         else:
             raise SystemExit(f"unknown variant {name}")
 

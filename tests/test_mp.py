@@ -307,17 +307,33 @@ def test_grouped_packed_conv_matches(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=1e-4)
 
-    # env routing: __call__ dispatches to the packed path when enabled
-    monkeypatch.setenv("DD_GROUPED_PACKED_CONV", "1")
-    conv = MPConv(64, 64, (3, 3), groups=8)
+    # mode 2: every group in ONE W-packed native grouped conv
+    for ci, co, g, w_dim in [(256, 512, 8, 16), (512, 256, 8, 16),
+                             (96, 96, 3, 14)]:
+        x = jnp.asarray(rng.standard_normal((2, 6, w_dim, ci)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal(
+            (co, ci // g, 3, 3)).astype(np.float32))
+        conv = MPConv(ci, co, (3, 3), groups=g)
+        want = conv._grouped_conv(x, w)
+        p = 128 // (ci // g)
+        while p > 1 and w_dim % p:
+            p //= 2
+        got = conv._grouped_packed_fused(x, w, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-4)
+
+    # env routing: __call__ dispatches to the packed paths when enabled
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (1, 4, 8, 64))
+    conv = MPConv(64, 64, (3, 3), groups=8)
     v = conv.init(key, x)
-    enabled = conv.apply(v, x)
     monkeypatch.setenv("DD_GROUPED_PACKED_CONV", "0")
     base = conv.apply(v, x)
-    np.testing.assert_allclose(np.asarray(enabled), np.asarray(base),
-                               rtol=2e-5, atol=2e-5)
+    for mode in ("1", "2"):
+        monkeypatch.setenv("DD_GROUPED_PACKED_CONV", mode)
+        enabled = conv.apply(v, x)
+        np.testing.assert_allclose(np.asarray(enabled), np.asarray(base),
+                                   rtol=2e-5, atol=1e-4)
 
 
 def test_grouped_conv_chain_layout(rng):
