@@ -253,36 +253,68 @@ def prepare_config(name: str, args, want_ddec: bool):
     def fgla_decode(mel, k):
         return fmt.sample_to_raw(mel.astype(jnp.float32), key=k)
 
-    # trace everything up front (host-side, cheap) so the expensive
-    # .compile() calls can run concurrently; downstream stages are lowered
-    # from eval_shape results instead of primed device values
+    # AOT blobs (utils/aot.py): in --compile-only mode (the serving-restart
+    # proxy) a serialized stage module skips Python TRACING — the dominant
+    # warm-start cost (~30 s of the 42.5 s measured with a hot compile
+    # cache, BASELINE r4). A full bench run exports the flagship blobs
+    # after its measurements (main()), so the driver's warm probe measures
+    # the blob path.
+    from dualdiffusion_tpu.utils import aot as aot_mod
+    aot_keys = {
+        stage: aot_mod.stage_key(name, stage, unet_cfg, dae_cfg, fmt_cfg,
+                                 args.steps, args.fgla, args.fgla_init)
+        for stage in ("sampler", "dae", "fgla")}
+    aot_calls = {}
+    if args.compile_only:
+        for stage, k_ in aot_keys.items():
+            call = aot_mod.load_stage(f"bench_{stage}", k_)
+            if call is not None:
+                aot_calls[stage] = call
+
+    # trace everything up front (host-side) so the expensive .compile()
+    # calls can run concurrently; downstream stages are lowered from
+    # eval_shape results instead of primed device values. The sampler's
+    # output aval is constructed analytically so a loaded sampler blob
+    # skips its (expensive) trace entirely.
+    init_seconds = time.time() - t_prep0
     log(f"[{name}] lowering + compiling stages (concurrent)...")
-    lat_sds = jax.eval_shape(sample_latents, key, uvars)
+    t_lower0 = time.time()
+    lat_sds = jax.ShapeDtypeStruct((1, lat_h, lat_w, lat_c), jnp.float32)
     mel_sds = jax.eval_shape(dae_decode, lat_sds, dvars)
-    low_samp = jax.jit(sample_latents).lower(key, uvars)
-    low_dae = jax.jit(dae_decode).lower(lat_sds, dvars)
-    low_fgla = jax.jit(fgla_decode).lower(mel_sds, key)
-    lows = {"sampler": low_samp, "dae": low_dae, "fgla": low_fgla}
+    lows = {}
+    if "sampler" not in aot_calls:
+        lows["sampler"] = jax.jit(sample_latents).lower(key, uvars)
+    if "dae" not in aot_calls:
+        lows["dae"] = jax.jit(dae_decode).lower(lat_sds, dvars)
+    if "fgla" not in aot_calls:
+        lows["fgla"] = jax.jit(fgla_decode).lower(mel_sds, key)
 
     ddec_stage = None
     if want_ddec:
         ddec_stage = make_ddec_stage(args, mel_h, mel_w, key)
         lows["ddec"] = ddec_stage["jit"].lower(mel_sds, key,
                                                ddec_stage["vars"])
+    lower_seconds = time.time() - t_lower0
 
-    compiled, compile_secs = {}, {}
+    compiled, compile_secs = dict(aot_calls), {}
 
     def _compile(stage_name):
         t0 = time.time()
         compiled[stage_name] = lows[stage_name].compile()
         compile_secs[stage_name] = time.time() - t0
 
-    with ThreadPoolExecutor(max_workers=len(lows)) as ex:
+    with ThreadPoolExecutor(max_workers=max(len(lows), 1)) as ex:
         list(ex.map(_compile, lows))
     log(f"[{name}] stage compiles (concurrent): " +
-        " ".join(f"{k} {v:.1f}s" for k, v in compile_secs.items()))
+        " ".join(f"{k} {v:.1f}s" for k, v in compile_secs.items())
+        + (f" [AOT: {','.join(aot_calls)}]" if aot_calls else ""))
 
     from dualdiffusion_tpu.utils.perf import compiled_cost
+
+    def _cost(stage):  # AOT calls carry no cost analysis (compile-only)
+        c = compiled[stage]
+        return compiled_cost(c) if hasattr(c, "cost_analysis") else {}
+
     if ddec_stage is not None:
         ddec_stage.update(compiled=compiled["ddec"],
                           cost=compiled_cost(compiled["ddec"]))
@@ -291,11 +323,18 @@ def prepare_config(name: str, args, want_ddec: bool):
         "mel_h": mel_h, "uvars": uvars, "dvars": dvars,
         "samp_c": compiled["sampler"], "dae_c": compiled["dae"],
         "fgla_c": compiled["fgla"],
-        "samp_cost": compiled_cost(compiled["sampler"]),
-        "dae_cost": compiled_cost(compiled["dae"]),
+        "samp_cost": _cost("sampler"),
+        "dae_cost": _cost("dae"),
         "compile_secs": {k: round(v, 1) for k, v in compile_secs.items()},
+        "aot_stages": sorted(aot_calls),
+        "init_seconds": round(init_seconds, 1),
+        "lower_seconds": round(lower_seconds, 1),
         "prepare_seconds": time.time() - t_prep0,
         "ddec_stage": ddec_stage,
+        "stage_fns": {"sampler": (sample_latents, (key, uvars)),
+                      "dae": (dae_decode, (lat_sds, dvars)),
+                      "fgla": (fgla_decode, (mel_sds, key))},
+        "aot_keys": aot_keys,
     }
 
 
@@ -336,7 +375,10 @@ def run_config(prep, args, ddec_stage=None):
     if args.compile_only:
         return {"first_call_seconds": first_call,
                 "compile_secs": prep["compile_secs"],
-                "prime_seconds": prime_seconds, "stages": {},
+                "aot_stages": prep["aot_stages"],
+                "init_seconds": prep["init_seconds"],
+                "lower_seconds": prep["lower_seconds"],
+                "prime_seconds": round(prime_seconds, 1), "stages": {},
                 "e2e_seconds": None, "audio_seconds": None,
                 "ddec_stage": ddec_stage}
 
@@ -507,7 +549,11 @@ def main():
             "value": round(time.time() - t_cold0, 1), "unit": "s",
             "per_scale": {n: {"first_call_seconds":
                               round(r["first_call_seconds"], 1),
-                              "compile_secs": r["compile_secs"]}
+                              "compile_secs": r["compile_secs"],
+                              "aot_stages": r["aot_stages"],
+                              "init_seconds": r["init_seconds"],
+                              "lower_seconds": r["lower_seconds"],
+                              "prime_seconds": r["prime_seconds"]}
                           for n, r in results.items()}}))
         return
 
@@ -541,12 +587,36 @@ def main():
             "first_call_seconds": round(r["first_call_seconds"], 1)}
         for n, r in results.items()}
     if not (args.no_warm_probe or args.small):
+        # export the flagship stage blobs (AOT StableHLO) so the warm
+        # probe — and any model-server restart — skips Python tracing;
+        # done OUTSIDE every timed window (it re-traces the sampler once)
+        if "flagship" in results:
+            _export_aot(preps["flagship"].result())
         line["first_call_warm_seconds"] = _warm_probe(args)
     peaks = device_peaks()
     if peaks:
         line["device"] = peaks
     line["stages"] = {n: results[n]["stages"] for n in names}
     print(json.dumps(line))
+
+
+def _export_aot(prep):
+    """Serialize the flagship stage modules (jax.export StableHLO) so
+    later --compile-only runs — the serving-restart proxy — skip Python
+    tracing (utils/aot.py). Failures are non-fatal: the warm path falls
+    back to tracing."""
+    import jax
+    from dualdiffusion_tpu.utils import aot as aot_mod
+    for stage, (fn, fn_args) in prep["stage_fns"].items():
+        k = prep["aot_keys"][stage]
+        if aot_mod.load_stage(f"bench_{stage}", k) is not None:
+            continue
+        t0 = time.time()
+        try:
+            aot_mod.save_stage(f"bench_{stage}", k, jax.jit(fn), *fn_args)
+            log(f"[aot] exported {stage} in {time.time() - t0:.1f}s")
+        except Exception as e:
+            log(f"[aot] export of {stage} failed: {type(e).__name__}: {e}")
 
 
 def _warm_probe(args):
@@ -563,9 +633,9 @@ def _warm_probe(args):
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=600, check=True)
-        val = json.loads(out.stdout.strip().splitlines()[-1])["value"]
-        log(f"[warm-probe] first_call_warm_seconds={val}")
-        return val
+        line = json.loads(out.stdout.strip().splitlines()[-1])
+        log(f"[warm-probe] {json.dumps(line)}")
+        return line["value"]
     except Exception as e:  # pragma: no cover - diagnostics only
         log(f"[warm-probe] failed: {e}")
         return None

@@ -171,6 +171,20 @@ class Pipeline:
         self.modules = modules
         self.dataset_embeddings = dataset_embeddings or {}
         self.mesh = None  # set by shard(); None = single-device placement
+        # per-stage jitted callables (keyed by stage name): every module /
+        # format apply in the serving path must run under jit — eager flax
+        # apply dispatches per-op, which is pathological on remote TPU
+        # runtimes (and slow everywhere at these model sizes)
+        self._jit_cache: Dict[str, Any] = {}
+
+    def _jitted(self, name: str, fn):
+        """Cache a jitted stage callable; params/inputs stay ARGUMENTS so
+        weight trees are never baked into the HLO as constants."""
+        f = self._jit_cache.get(name)
+        if f is None:
+            f = jax.jit(fn)
+            self._jit_cache[name] = f
+        return f
 
     def __getattr__(self, name: str):
         modules = self.__dict__.get("modules", {})
@@ -407,12 +421,14 @@ class Pipeline:
 
         if audio_embedding is not None and ucfg.in_channels_emb > 0:
             from ..models.unet import UNet as _U
-            emb_c = unet.apply(uvars, audio_embedding,
-                               jnp.ones((audio_embedding.shape[0],)),
-                               method=_U.get_embeddings)
-            emb_u = unet.apply(uvars, audio_embedding,
-                               jnp.zeros((audio_embedding.shape[0],)),
-                               method=_U.get_embeddings)
+            emb_fn = self._jitted(
+                f"{module_name}_get_embeddings",
+                lambda v, e, m: unet.apply(v, e, m,
+                                           method=_U.get_embeddings))
+            emb_c = emb_fn(uvars, audio_embedding,
+                           jnp.ones((audio_embedding.shape[0],)))
+            emb_u = emb_fn(uvars, audio_embedding,
+                           jnp.zeros((audio_embedding.shape[0],)))
             emb2 = jnp.concatenate([emb_c, emb_u], axis=0)
         else:
             emb2 = None
@@ -459,14 +475,16 @@ class Pipeline:
             audio = jnp.pad(audio, [(0, 0), (0, 0), (0, want - t)])
         else:
             audio = audio[..., :want]
-        sample = fmt.raw_to_sample(audio)
+        sample = self._jitted("raw_to_sample", fmt.raw_to_sample)(audio)
         dae_h = self.modules.get("dae")
         if dae_h is not None:
             from ..models.dae import DAE as _DAE
             ds = dae_h.module.downsample_ratio
             sample = sample[:, :, : sample.shape[2] // ds * ds]
-            sample = dae_h.module.apply(dae_h.variables, sample,
-                                        method=_DAE.encode)
+            sample = self._jitted(
+                "dae_encode",
+                lambda v, s: dae_h.module.apply(v, s, method=_DAE.encode))(
+                dae_h.variables, sample)
         return sample.astype(jnp.float32)
 
     def generate(self, params, key: jax.Array,
@@ -522,8 +540,11 @@ class Pipeline:
                 # heterogeneous placement: move the stage input to the
                 # DAE's committed device (jit rejects mixed placements)
                 latents = jax.device_put(latents, dae_h.device)
-            mel = dae_h.module.apply(dae_h.variables, latents,
-                                     method=_DAE.decode).astype(jnp.float32)
+            mel = self._jitted(
+                "dae_decode",
+                lambda v, z: dae_h.module.apply(
+                    v, z, method=_DAE.decode).astype(jnp.float32))(
+                dae_h.variables, latents)
         else:
             mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
             mel, debug = self.diffusion_decode(
@@ -540,7 +561,8 @@ class Pipeline:
             from ..models.formats.ms_mdct_dual import MSMDCTDualFormat
             assert isinstance(fmt, MSMDCTDualFormat), \
                 "ddec decode requires the ms_mdct_dual format"
-            lin = fmt.mel_spec_to_linear(mel)
+            lin = self._jitted("mel_spec_to_linear",
+                               fmt.mel_spec_to_linear)(mel)
             # the mel and MDCT frame grids share the same hop by construction
             # (format guarantee), so the conditioning width IS the MDCT width
             mdct_shape = fmt.get_mdct_shape_for_mel_frames(
@@ -548,14 +570,16 @@ class Pipeline:
             coeffs, ddbg = self.diffusion_decode(
                 params, k2, sample_shape=mdct_shape,
                 x_ref=lin, module_name="ddec")
-            raw = fmt.mdct_to_raw(coeffs)
+            raw = self._jitted("mdct_to_raw", fmt.mdct_to_raw)(coeffs)
             debug["ddec"] = ddbg
-        elif hasattr(fmt, "sample_to_raw_fgla"):
-            raw = fmt.sample_to_raw_fgla(mel, n_fgla_iters=params.num_fgla_iters,
-                                         key=k3)
         else:
-            raw = fmt.sample_to_raw(mel, n_fgla_iters=params.num_fgla_iters,
-                                    key=k3)
+            ni = params.num_fgla_iters
+            decode = (fmt.sample_to_raw_fgla
+                      if hasattr(fmt, "sample_to_raw_fgla")
+                      else fmt.sample_to_raw)
+            raw = self._jitted(
+                f"sample_to_raw_{ni}",
+                lambda m, k: decode(m, n_fgla_iters=ni, key=k))(mel, k3)
 
         if params.seamless_loop:
             from ..sampling.sampler import seamless_loop_crossfade
