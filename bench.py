@@ -484,6 +484,12 @@ def main():
     ap.add_argument("--no-warm-probe", action="store_true",
                     help="skip the warm-start subprocess measurement")
     args = ap.parse_args()
+    # Pallas implicit-GEMM grouped convs for the (single-chip, inference)
+    # bench workload: bench-level sandwich A/B measured the ref-scale
+    # sampler at 3.78 s vs 4.54/4.56 s base (BASELINE r4). Off by default
+    # in the library (training backward + sharded lowering not covered);
+    # DD_GROUPED_PALLAS_CONV=0 restores the per-tap path here.
+    os.environ.setdefault("DD_GROUPED_PALLAS_CONV", "1")
     if args.ddec and (args.small or args.no_ddec):
         ap.error("--ddec needs the production 256-bin mel grid "
                  "(incompatible with --small/--no-ddec)")

@@ -110,7 +110,7 @@ class MPConv(nn.Module):
             out = self._packed_conv(x, w, w_pack)
         else:
             out = self._conv(x, w, grouped_in=grouped_in,
-                             grouped_out=grouped_out)
+                             grouped_out=grouped_out, training=training)
 
         if not scalar_gain:
             assert not grouped_out, "array gain requires merged NHWC output"
@@ -278,7 +278,8 @@ class MPConv(nn.Module):
                                             dimension_numbers=dn)
 
     def _conv(self, x: jnp.ndarray, w: jnp.ndarray, grouped_in: bool = False,
-              grouped_out: bool = False) -> jnp.ndarray:
+              grouped_out: bool = False,
+              training: bool = False) -> jnp.ndarray:
         w = w.astype(x.dtype)
         nd = len(self.kernel)
         if self.groups > 1:
@@ -291,7 +292,10 @@ class MPConv(nn.Module):
             # lowering for 2D merged-layout calls (A/B probe: the round-3
             # dense-lowering measurement used per-call-sync timing).
             import os
+            # inference only: the custom VJP's backward re-linearizes the
+            # lax reference conv (an extra forward per conv in training)
             if (os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
+                    and not training
                     and nd == 2 and self.stride == 1 and not grouped_in
                     and not grouped_out and self.w_pad_mode != "reflect"):
                 from ..ops.pallas.grouped_conv import (grouped_conv2d_3x3,

@@ -198,6 +198,10 @@ class ModelServer:
 
 def start_model_server(state) -> None:
     """Entry point for multiprocessing.Process."""
+    # single-chip inference process: the Pallas grouped-conv lowering is
+    # a measured ~17% sampler win at ref scale (BASELINE r4); users
+    # sharding across chips run sample.py --tp, not this server
+    os.environ.setdefault("DD_GROUPED_PALLAS_CONV", "1")
     platform = os.environ.get("DD_MODEL_SERVER_PLATFORM")
     if platform:
         # force a backend (tests run the server on CPU); config-level
