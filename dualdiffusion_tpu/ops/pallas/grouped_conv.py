@@ -172,7 +172,7 @@ grouped_conv2d_3x3.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def supported(x_shape: Tuple[int, ...], kernel: Tuple[int, ...],
-              stride: int, groups: int, min_w: int = 96) -> bool:
+              stride: int, groups: int, min_w: int = 64) -> bool:
     """Routing predicate for MPConv: 4D NHWC, 3x3, stride 1, wide W."""
     if len(x_shape) != 4 or tuple(kernel) != (3, 3) or stride != 1:
         return False

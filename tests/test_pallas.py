@@ -145,7 +145,7 @@ def test_grouped_conv_pallas_matches_lax(rng):
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-4)
 
     # routing predicate rejects unsupported geometries
-    assert not supported((1, 8, 64, 32), (3, 3), 1, 1)   # narrow W
+    assert not supported((1, 8, 48, 32), (3, 3), 1, 1)   # narrow W
     assert not supported((1, 8, 128, 32), (3, 3), 2, 1)  # stride
     assert not supported((1, 8, 128, 32), (1, 1), 1, 1)  # kernel
 
