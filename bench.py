@@ -177,6 +177,9 @@ def make_ddec_stage(args, mel_h: int, mel_w: int, key):
                          input_perturbation=0.0)
 
     def ddec_decode(mel, k, ddv):
+        if os.environ.get("DD_FOLD_PARAMS", "0") == "1":
+            from dualdiffusion_tpu.models.layers import fold_inference_params
+            ddv = fold_inference_params(ddv)  # once, outside the Heun scan
         lin = mfmt.mel_spec_to_linear(mel.astype(jnp.float32))
 
         def dd_denoise(x, sigma):
@@ -240,7 +243,19 @@ def prepare_config(name: str, args, want_ddec: bool):
     # params are jit ARGUMENTS, never closures: closed-over param trees
     # become HLO constants, and XLA constant-folds giant weight transposes
     # at compile time (measured: ref-scale fwd lowering 815 s as closures)
+    # DD_FOLD_PARAMS=1 pre-folds weights (bf16, fan-in-scaled) outside the
+    # scan. Measured SLOWER at ref scale (sampler 5.24 s folded+Pallas /
+    # 4.49 s folded+per-tap vs 3.78 s unfolded+Pallas): the halved weight
+    # DMA is outweighed by the Pallas wt transpose losing its
+    # multiply+convert fusion and lowering to per-step sync retile copies
+    # (BASELINE r4). Kept as an opt-in for runtimes where the tradeoff
+    # differs.
+    from dualdiffusion_tpu.models.layers import fold_inference_params
+    use_fold = os.environ.get("DD_FOLD_PARAMS", "0") == "1"
+
     def sample_latents(k, uv):
+        if use_fold:
+            uv = fold_inference_params(uv)  # once, outside the 100-step scan
         def denoise(x, sigma):
             return unet.apply(uv, x, sigma, emb2)
         latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
@@ -248,6 +263,8 @@ def prepare_config(name: str, args, want_ddec: bool):
         return latents
 
     def dae_decode(latents, dv):
+        if use_fold:
+            dv = fold_inference_params(dv)
         return dae.apply(dv, latents, method=DAE.decode)
 
     def fgla_decode(mel, k):
@@ -265,7 +282,11 @@ def prepare_config(name: str, args, want_ddec: bool):
                                  args.steps, args.fgla, args.fgla_init)
         for stage in ("sampler", "dae", "fgla")}
     aot_calls = {}
-    if args.compile_only:
+    # DD_AOT=1 opt-in ONLY: measured on v5e, the deserialized modules skip
+    # tracing (lower 0.2 s) but their XLA compiles MISS the persistent
+    # cache and recompile pathologically (~190-450 s prime vs 42.5 s for
+    # the plain trace+cached-compile path) — see BASELINE r4
+    if args.compile_only and os.environ.get("DD_AOT", "0") == "1":
         for stage, k_ in aot_keys.items():
             call = aot_mod.load_stage(f"bench_{stage}", k_)
             if call is not None:
@@ -593,10 +614,11 @@ def main():
             "first_call_seconds": round(r["first_call_seconds"], 1)}
         for n, r in results.items()}
     if not (args.no_warm_probe or args.small):
-        # export the flagship stage blobs (AOT StableHLO) so the warm
-        # probe — and any model-server restart — skips Python tracing;
-        # done OUTSIDE every timed window (it re-traces the sampler once)
-        if "flagship" in results:
+        # export the flagship stage blobs (AOT StableHLO) when opted in;
+        # done OUTSIDE every timed window (re-traces the sampler once).
+        # Off by default: the deserialized modules recompile uncached
+        # (slower than tracing) on this runtime — BASELINE r4
+        if "flagship" in results and os.environ.get("DD_AOT", "0") == "1":
             _export_aot(preps["flagship"].result())
         line["first_call_warm_seconds"] = _warm_probe(args)
     peaks = device_peaks()

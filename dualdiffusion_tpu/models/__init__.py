@@ -6,4 +6,5 @@ from .layers import (MPConv, MPFourier, AdaptiveGroupBalance,
                      filtered_mp_silu_2d, filtered_downsample_3d,
                      filtered_upsample_3d, filtered_mp_silu_3d,
                      filtered_downsample_1d3, filtered_upsample_1d3,
-                     MP_WEIGHT_NAME, RAW_WEIGHT_NAME)
+                     MP_WEIGHT_NAME, RAW_WEIGHT_NAME,
+                     fold_inference_params)

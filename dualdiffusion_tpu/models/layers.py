@@ -56,6 +56,34 @@ def normalize_weight(w: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     return normalize(w, axis=tuple(range(1, w.ndim)), eps=eps)
 
 
+def fold_inference_params(variables, dtype=jnp.bfloat16):
+    """Pre-fold MP weight leaves for inference: divide by sqrt(fan_in)
+    once and store in ``dtype`` (bf16). MPConv detects non-f32 weight
+    leaves and skips its per-call weight prep, so inside a sampling
+    ``lax.scan`` the weights become loop-invariant bf16 buffers — the
+    ref-scale sampler profile measured per-step f32 weight slice /
+    convert / copy DMA chains dominating the step span (slice-start 54%
+    of device-op time) because XLA does not hoist them out of the while
+    body. Call INSIDE the jitted stage fn, outside the scan (the fold
+    itself then runs once per call, ~1 ms), or once at model load.
+
+    Inference only: folded leaves carry no unit-RMS re-normalization
+    (stored weights are already force-normalized by the trainer, like
+    the reference's forced weight norm, mp_tools.py:375-378).
+    """
+    weight_names = (MP_WEIGHT_NAME, RAW_WEIGHT_NAME)
+
+    def fold(path, leaf):
+        name = getattr(path[-1], "key", None) if path else None
+        if (name in weight_names and hasattr(leaf, "ndim")
+                and leaf.ndim >= 1 and leaf.dtype == jnp.float32):
+            fan_in = float(np.prod(leaf.shape[1:]))
+            return (leaf / np.sqrt(fan_in)).astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fold, variables)
+
+
 class MPConv(nn.Module):
     """Weight-normalized magnitude-preserving conv / linear.
 
@@ -85,14 +113,27 @@ class MPConv(nn.Module):
         name = RAW_WEIGHT_NAME if self.disable_weight_norm else MP_WEIGHT_NAME
         w = self.param(name, init, kshape, jnp.float32)
 
-        if training and not self.disable_weight_norm:
-            w = normalize_weight(w)
-        fan_in = int(np.prod(kshape[1:]))
-        w = w / np.sqrt(fan_in)
+        # fold_inference_params() pre-divides by sqrt(fan_in) and stores
+        # the leaf in bf16; a non-f32 leaf signals the prep is already
+        # done. Inside a sampling scan this keeps the weights loop-
+        # invariant (no per-step divide/convert/copy chains — the
+        # ref-scale sampler profile showed f32 weight slice+convert DMA
+        # dominating the step span).
+        folded = w.dtype != jnp.float32
+        if not folded:
+            if training and not self.disable_weight_norm:
+                w = normalize_weight(w)
+            fan_in = int(np.prod(kshape[1:]))
+            w = w / np.sqrt(fan_in)
 
         scalar_gain = not (isinstance(gain, jnp.ndarray) and gain.ndim > 0)
-        if scalar_gain:
-            w = w * gain
+        # learned ndim-0 gains on a FOLDED linear are applied to the
+        # (small) output instead of the weight matrix
+        gain_on_out = folded and scalar_gain and len(self.kernel) == 0 \
+            and isinstance(gain, jnp.ndarray)
+        if scalar_gain and not gain_on_out:
+            if not (isinstance(gain, (int, float)) and gain == 1.0):
+                w = w * jnp.asarray(gain, w.dtype)
 
         if len(self.kernel) == 0:
             if self.groups > 1:
@@ -112,6 +153,8 @@ class MPConv(nn.Module):
             out = self._conv(x, w, grouped_in=grouped_in,
                              grouped_out=grouped_out, training=training)
 
+        if gain_on_out:
+            out = out * gain.astype(out.dtype)
         if not scalar_gain:
             assert not grouped_out, "array gain requires merged NHWC output"
             if gain.ndim == 2:  # (B, C_out) -> (B, 1, ..., 1, C_out)
@@ -292,16 +335,18 @@ class MPConv(nn.Module):
             # lowering for 2D merged-layout calls (A/B probe: the round-3
             # dense-lowering measurement used per-call-sync timing).
             import os
-            # inference only: the custom VJP's backward re-linearizes the
-            # lax reference conv (an extra forward per conv in training)
+            # training routing is a separate opt-in (the custom VJP is
+            # native — dgrad reuses the kernel, wgrad is the 9-tap einsum
+            # — but the training A/B decides the default independently)
             if (os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
-                    and not training
+                    and (not training or os.environ.get(
+                        "DD_GROUPED_PALLAS_CONV_TRAIN", "0") == "1")
                     and nd == 2 and self.stride == 1 and not grouped_in
                     and not grouped_out and self.w_pad_mode != "reflect"):
-                from ..ops.pallas.grouped_conv import (grouped_conv2d_3x3,
-                                                       supported)
+                from ..ops.pallas.grouped_conv import (
+                    grouped_conv2d_3x3_jit, supported)
                 if supported(x.shape, self.kernel, self.stride, self.groups):
-                    return grouped_conv2d_3x3(x, w, self.groups)
+                    return grouped_conv2d_3x3_jit(x, w, self.groups)
             if (os.environ.get("DD_GROUPED_PACKED_CONV", "0") in ("1", "2")
                     and nd == 2 and self.stride == 1 and not grouped_in
                     and not grouped_out and self.w_pad_mode != "reflect"

@@ -195,12 +195,16 @@ class UNetBlock(nn.Module):
         # (the elementwise modulation between them is layout-agnostic),
         # paying XLA's group relayout once per chain instead of per conv
         import os
+        # the Pallas implicit-GEMM kernel consumes/produces merged NHWC;
+        # disable the batch-major layout threading when the kernel will
+        # actually take the pair (inference by default; training only with
+        # the separate TRAIN opt-in) so MPConv can route it
+        pallas_takes = (os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
+                        and (not training or os.environ.get(
+                            "DD_GROUPED_PALLAS_CONV_TRAIN", "0") == "1"))
         grouped = (cfg.mlp_groups > 1
                    and os.environ.get("DD_GROUPED_CONV_NATIVE", "0") != "1"
-                   # the Pallas implicit-GEMM kernel consumes/produces
-                   # merged NHWC; disable the batch-major layout threading
-                   # so MPConv can route the pair through it
-                   and os.environ.get("DD_GROUPED_PALLAS_CONV", "0") != "1")
+                   and not pallas_takes)
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,
                    name="conv_res0")(

@@ -24,9 +24,10 @@ matrix. groups == 1 (dense low-channel convs, e.g. the DDEC grid) is the
 same kernel with G = 1.
 
 Training support: `grouped_conv2d_3x3` wraps the kernel in a custom_vjp
-whose backward runs the VJP of the mathematically-identical
-lax.conv_general_dilated(feature_group_count) (the kernels compute the
-same function; fp32-accumulated bf16 in both).
+with a NATIVE backward — dgrad reuses this same kernel with io-swapped
+180-degree-rotated weights (the transpose of a stride-1 same-pad conv is
+itself such a conv) and wgrad is the exact 9-tap einsum reduction; both
+fp32-accumulated like lax.conv_general_dilated's VJP.
 
 Reference semantics: torch grouped Conv2d as used by the EDM2 MLP blocks
 (reference: src/modules/mp_tools.py:332-378 MPConv with groups, e.g.
@@ -139,6 +140,11 @@ def _fwd_impl(x: jnp.ndarray, w: jnp.ndarray, groups: int) -> jnp.ndarray:
     xt = jnp.pad(xt, [(0, 0), (0, 0), (1, 1), (0, 0),
                       (1, w_lanes - wdim - 1)])
     wt = w.reshape(groups, cog, cig, 3, 3)
+    # NOTE: pre-folded bf16 weights (fold_inference_params) make this
+    # transpose lower to an unfused sync retile copy per scan step
+    # (+1.9 s/100 steps at ref scale); an f32 sandwich around it does NOT
+    # restore the fusion (measured 5.22 s vs 5.24 s, BASELINE r4) — keep
+    # f32 weights on the Pallas sampler path
     wt = jnp.transpose(wt, (0, 3, 4, 2, 1)).reshape(
         groups, 9 * cig, cog).astype(x.dtype)
     out = _pallas_grouped_conv(xt, wt, th, wdim, x.dtype)
@@ -151,8 +157,8 @@ def grouped_conv2d_3x3(x: jnp.ndarray, w: jnp.ndarray,
                        groups: int = 1) -> jnp.ndarray:
     """3x3 stride-1 same-pad (grouped) conv, NHWC x (C_out, C_in/g, 3, 3).
 
-    Forward runs the Pallas implicit-GEMM kernel; gradients are the VJP of
-    the identical lax grouped conv.
+    Forward runs the Pallas implicit-GEMM kernel; the backward is native
+    (dgrad via the same kernel on rotated weights, einsum wgrad).
     """
     return _fwd_impl(x, w, groups)
 
@@ -161,14 +167,53 @@ def _vjp_fwd(x, w, groups):
     return _fwd_impl(x, w, groups), (x, w)
 
 
+def _dgrad_weights(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """(G*cog, cig, 3, 3) -> (G*cig, cog, 3, 3): io-swapped, 180-degree
+    rotated per group — the input-gradient of a stride-1 same-pad conv is
+    a conv of the output gradient with these weights."""
+    co, cig = w.shape[0], w.shape[1]
+    cog = co // groups
+    wg = w.reshape(groups, cog, cig, 3, 3)
+    wg = jnp.flip(jnp.transpose(wg, (0, 2, 1, 3, 4)), axis=(-2, -1))
+    return wg.reshape(groups * cig, cog, 3, 3)
+
+
+def _wgrad(x: jnp.ndarray, gy: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Exact weight gradient: grad_w[g*cog+o, i, dy, dx] =
+    sum_{b,h,w} gy[b,h,w,g*cog+o] * x_pad[b,h+dy-1,w+dx-1,g*cig+i]."""
+    b, h, wdim, c = x.shape
+    cig, cog = c // groups, gy.shape[-1] // groups
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    xg = xp.reshape(b, h + 2, wdim + 2, groups, cig)
+    gyg = gy.reshape(b, h, wdim, groups, cog)
+    taps = []
+    for dy in range(3):
+        for dx in range(3):
+            xs = xg[:, dy:dy + h, dx:dx + wdim]
+            taps.append(jnp.einsum("bhwgo,bhwgi->goi", gyg, xs,
+                                   preferred_element_type=jnp.float32))
+    gw = jnp.stack(taps, axis=-1).reshape(groups, cog, cig, 3, 3)
+    return gw.reshape(groups * cog, cig, 3, 3).astype(x.dtype)
+
+
 def _vjp_bwd(groups, res, g):
+    """Native backward: dgrad reuses the Pallas forward kernel with
+    io-swapped rotated weights; wgrad is the exact 9-tap einsum reduction
+    (matches lax.conv_general_dilated's VJP without re-linearizing a
+    reference forward)."""
     x, w = res
-    _, pullback = jax.vjp(lambda xx, ww: _lax_reference(xx, ww, groups),
-                          x, w)
-    return pullback(g)
+    gx = _fwd_impl(g.astype(x.dtype), _dgrad_weights(w, groups), groups)
+    return gx, _wgrad(x, g.astype(x.dtype), groups)
 
 
 grouped_conv2d_3x3.defvjp(_vjp_fwd, _vjp_bwd)
+
+# jit wrapper for call sites: inside an outer trace a pjit callee's jaxpr
+# is cached by (fun, avals), so the N same-shape conv instances of a UNet
+# share ONE traced+lowered kernel instead of paying the Mosaic lowering
+# per call site (measured: the ref-scale sampler prepare grew ~+100 s of
+# GIL-bound lowering with per-site tracing)
+grouped_conv2d_3x3_jit = jax.jit(grouped_conv2d_3x3, static_argnums=2)
 
 
 def supported(x_shape: Tuple[int, ...], kernel: Tuple[int, ...],

@@ -176,6 +176,33 @@ class Pipeline:
         # apply dispatches per-op, which is pathological on remote TPU
         # runtimes (and slow everywhere at these model sizes)
         self._jit_cache: Dict[str, Any] = {}
+        # inference-folded param trees per module (weights pre-divided by
+        # sqrt(fan_in), bf16) — keyed on the variables object identity so
+        # a checkpoint/EMA swap from the model explorer re-folds
+        self._fold_cache: Dict[str, Any] = {}
+
+    def _folded_variables(self, name: str, h: "ModuleHandle"):
+        """Inference-folded (bf16, fan-in-scaled) variables for a module
+        — OPT-IN via DD_FOLD_PARAMS=1; returns ``h.variables`` untouched
+        otherwise.
+
+        Folding outside the sampling scan keeps every weight loop-
+        invariant, but on v5e it measured SLOWER for the big-UNet sampler
+        (5.24 s folded vs 3.78 s unfolded at ref scale): the Pallas
+        grouped-conv weight transpose loses its multiply+convert fusion
+        and lowers to per-step sync retile copies (BASELINE r4). The
+        original f32 tree on ``h.variables`` stays untouched (state-dict
+        and save paths read it)."""
+        import os
+        if os.environ.get("DD_FOLD_PARAMS", "0") != "1":
+            return h.variables
+        from ..models.layers import fold_inference_params
+        ent = self._fold_cache.get(name)
+        if ent is None or ent[0] is not h.variables:
+            folded = jax.jit(fold_inference_params)(h.variables)
+            self._fold_cache[name] = (h.variables, folded)
+            return folded
+        return ent[1]
 
     def _jitted(self, name: str, fn):
         """Cache a jitted stage callable; params/inputs stay ARGUMENTS so
@@ -391,7 +418,8 @@ class Pipeline:
                 and "unet_inpainting" in self.modules):
             module_name = "unet_inpainting"
         h = self.modules[module_name]
-        unet, uvars, ucfg = h.module, h.variables, h.config
+        unet, ucfg = h.module, h.config
+        uvars = self._folded_variables(module_name, h)
         if h.device is not None:
             # heterogeneous placement: stage inputs follow the module
             x_ref, init_sample, inpainting_mask, audio_embedding = (
@@ -544,7 +572,7 @@ class Pipeline:
                 "dae_decode",
                 lambda v, z: dae_h.module.apply(
                     v, z, method=_DAE.decode).astype(jnp.float32))(
-                dae_h.variables, latents)
+                self._folded_variables("dae", dae_h), latents)
         else:
             mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
             mel, debug = self.diffusion_decode(

@@ -61,10 +61,13 @@ def load_stage(name: str, key: str) -> Optional[Callable]:
     if path is None or not path.is_file():
         return None
     try:
+        import jax
         from jax import export
         exp = export.deserialize(path.read_bytes())
         logger.info("AOT stage '%s' loaded from %s", name, path)
-        return exp.call
+        # exp.call alone re-dispatches uncached per invocation; the jit
+        # wrapper restores the in-process dispatch cache
+        return jax.jit(exp.call)
     except Exception as e:  # version skew, corrupt blob
         logger.warning("AOT stage '%s' unusable (%s); re-tracing", name, e)
         try:

@@ -199,8 +199,15 @@ def main():
     emb2 = jnp.concatenate([emb_c, emb_u], axis=0)
     sp = SampleParams(steps=args.steps, cfg_scale=1.5, use_heun=True)
 
+    # matches bench's DD_FOLD_PARAMS=1 opt-in (off by default: measured
+    # slower with the Pallas conv routing, BASELINE r4)
+    from dualdiffusion_tpu.models.layers import fold_inference_params
+    use_fold = os.environ.get("DD_FOLD_PARAMS", "0") == "1"
+
     if args.stage == "sampler":
         def run(k, uv):
+            if use_fold:
+                uv = fold_inference_params(uv)
             def denoise(x, sigma):
                 return unet.apply(uv, x, sigma, emb2)
             latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
@@ -212,6 +219,8 @@ def main():
         lat = jax.random.normal(key, (1, lat_h, lat_w, lat_c))
 
         def run(latents, dv):
+            if use_fold:
+                dv = fold_inference_params(dv)
             return dae.apply(dv, latents, method=DAE.decode)
         fn = jax.jit(run)
         fargs = (lat, dvars)

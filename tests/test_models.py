@@ -384,3 +384,55 @@ def test_dae_supersampled_asymmetric_encoder(key):
     assert lat.shape == (1, 8, 16, 4)   # ratio 4 from the 3-level decoder
     y = model.apply(v, lat, method=DAE.decode)
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+
+def test_fold_inference_params_unet_parity(key):
+    """Folded (bf16, fan-in-scaled) params produce the same UNet forward
+    as the per-call weight prep, within bf16 weight-quantization noise —
+    and fold leaves only w_mp/w_raw leaves touched."""
+    from dualdiffusion_tpu.models.layers import fold_inference_params
+
+    cfg = tiny_unet_cfg(in_channels_emb=8)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    sigma = jnp.array([1.0, 10.0])
+    emb_in = jax.random.normal(key, (2, 8))
+    v = model.init(key, x, sigma, emb_in, method=UNet.init_all)
+    v["params"]["core"]["out_gain"] = jnp.ones(())
+    emb = model.apply(v, emb_in, jnp.ones(2), method=UNet.get_embeddings)
+
+    base = model.apply(v, x, sigma, emb)
+    folded = fold_inference_params(v)
+    fast = model.apply(folded, x, sigma, emb)
+    assert fast.dtype == base.dtype
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=2e-2, atol=2e-2)
+
+    # non-weight leaves (gains, biases) stay untouched f32
+    import jax.tree_util as jtu
+    for (pa, a), (pb, b) in zip(jtu.tree_leaves_with_path(v),
+                                jtu.tree_leaves_with_path(folded)):
+        name = getattr(pa[-1], "key", "")
+        if name in ("w_mp", "w_raw"):
+            assert b.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32),
+                np.asarray(a / np.sqrt(np.prod(a.shape[1:]))), rtol=1e-2,
+                atol=1e-3)
+        else:
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fold_inference_params_dae_parity(key):
+    from dualdiffusion_tpu.models.layers import fold_inference_params
+
+    cfg = tiny_dae_cfg()
+    dae = DAE(cfg)
+    x = jax.random.normal(key, (1, 16, 16, 2))
+    v = dae.init(key, x)
+    lat = dae.apply(v, x, method=DAE.encode)
+    base = dae.apply(v, lat, method=DAE.decode)
+    fast = dae.apply(fold_inference_params(v), lat, method=DAE.decode)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=2e-2, atol=2e-2)

@@ -141,8 +141,12 @@ def test_grouped_conv_pallas_matches_lax(rng):
         lambda a, b_: jnp.sum(grouped_conv2d_3x3(a, b_, 4) ** 2), (0, 1))(x, w)
     rx, rw = jax.grad(
         lambda a, b_: jnp.sum(_lax_reference(a, b_, 4) ** 2), (0, 1))(x, w)
-    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-4)
+    # native backward (dgrad via the kernel, 9-tap einsum wgrad): f32
+    # reduction-order noise only
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-3)
 
     # routing predicate rejects unsupported geometries
     assert not supported((1, 8, 48, 32), (3, 3), 1, 1)   # narrow W
@@ -190,3 +194,29 @@ def test_grouped_conv_pallas_unet_forward_matches(rng, monkeypatch):
     fast = unet.apply(v, x, jnp.full((1,), 2.0), cond)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_conv_pallas_training_grads(rng, monkeypatch):
+    """DD_GROUPED_PALLAS_CONV_TRAIN=1 routes TRAINING forwards through the
+    kernel; loss value and weight gradients (through the forward weight
+    normalization) must match the per-tap path."""
+    from dualdiffusion_tpu.models.layers import MPConv
+
+    conv = MPConv(64, 128, (3, 3), groups=8)
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 4, 128, 64))
+    v = conv.init(key, x)
+
+    def loss(vv):
+        return jnp.sum(conv.apply(vv, x, training=True) ** 2)
+
+    monkeypatch.setenv("DD_GROUPED_PALLAS_CONV", "0")
+    base_l, base_g = jax.value_and_grad(loss)(v)
+    monkeypatch.setenv("DD_GROUPED_PALLAS_CONV", "1")
+    monkeypatch.setenv("DD_GROUPED_PALLAS_CONV_TRAIN", "1")
+    fast_l, fast_g = jax.value_and_grad(loss)(v)
+    np.testing.assert_allclose(float(fast_l), float(base_l), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(fast_g),
+                    jax.tree_util.tree_leaves(base_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
