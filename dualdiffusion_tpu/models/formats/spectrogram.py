@@ -114,7 +114,10 @@ class SpectrogramFormat(Format):
         return self.get_audio_len(num_frames)
 
     def get_sample_shape(self, bsz: int = 1, raw_length: Optional[int] = None) -> Tuple[int, ...]:
-        raw_length = raw_length or self.get_raw_crop_width(raw_length)
+        # explicit lengths route through the crop width too (128-frame
+        # floor) so generate() and encode_input_audio() agree for any
+        # requested length (reference: old/spectrogram.py:208-215)
+        raw_length = self.get_raw_crop_width(raw_length)
         return (bsz, self.config.num_frequencies, self.get_num_frames(raw_length),
                 self.config.num_raw_channels)
 
