@@ -250,12 +250,17 @@ def prepare_config(name: str, args, want_ddec: bool):
     # multiply+convert fusion and lowering to per-step sync retile copies
     # (BASELINE r4). Kept as an opt-in for runtimes where the tradeoff
     # differs.
+    # DD_FOLD_PARAMS=2 folds only the 2-D linear weights (emb-modulation
+    # matrices) — conv weights stay f32 so the Pallas wt prep keeps its
+    # convert fusion
     from dualdiffusion_tpu.models.layers import fold_inference_params
-    use_fold = os.environ.get("DD_FOLD_PARAMS", "0") == "1"
+    fold_mode = os.environ.get("DD_FOLD_PARAMS", "0")
+    use_fold, lin_only = fold_mode in ("1", "2"), fold_mode == "2"
 
     def sample_latents(k, uv):
         if use_fold:
-            uv = fold_inference_params(uv)  # once, outside the 100-step scan
+            # once, outside the 100-step scan
+            uv = fold_inference_params(uv, linear_only=lin_only)
         def denoise(x, sigma):
             return unet.apply(uv, x, sigma, emb2)
         latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
@@ -264,7 +269,7 @@ def prepare_config(name: str, args, want_ddec: bool):
 
     def dae_decode(latents, dv):
         if use_fold:
-            dv = fold_inference_params(dv)
+            dv = fold_inference_params(dv, linear_only=lin_only)
         return dae.apply(dv, latents, method=DAE.decode)
 
     def fgla_decode(mel, k):

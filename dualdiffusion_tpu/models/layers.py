@@ -56,7 +56,8 @@ def normalize_weight(w: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     return normalize(w, axis=tuple(range(1, w.ndim)), eps=eps)
 
 
-def fold_inference_params(variables, dtype=jnp.bfloat16):
+def fold_inference_params(variables, dtype=jnp.bfloat16,
+                          linear_only: bool = False):
     """Pre-fold MP weight leaves for inference: divide by sqrt(fan_in)
     once and store in ``dtype`` (bf16). MPConv detects non-f32 weight
     leaves and skips its per-call weight prep, so inside a sampling
@@ -70,13 +71,20 @@ def fold_inference_params(variables, dtype=jnp.bfloat16):
     Inference only: folded leaves carry no unit-RMS re-normalization
     (stored weights are already force-normalized by the trainer, like
     the reference's forced weight norm, mp_tools.py:375-378).
+
+    ``linear_only`` folds just the 2-D (kernel-less linear) weights —
+    the per-block emb-modulation matrices, whose per-step streaming is
+    pure DMA against a (B, emb) matmul — and leaves conv weights f32:
+    folding convs regressed the Pallas sampler path (the wt transpose
+    loses its convert fusion; BASELINE r4).
     """
     weight_names = (MP_WEIGHT_NAME, RAW_WEIGHT_NAME)
 
     def fold(path, leaf):
         name = getattr(path[-1], "key", None) if path else None
         if (name in weight_names and hasattr(leaf, "ndim")
-                and leaf.ndim >= 1 and leaf.dtype == jnp.float32):
+                and leaf.ndim >= 1 and leaf.dtype == jnp.float32
+                and (not linear_only or leaf.ndim == 2)):
             fan_in = float(np.prod(leaf.shape[1:]))
             return (leaf / np.sqrt(fan_in)).astype(dtype)
         return leaf

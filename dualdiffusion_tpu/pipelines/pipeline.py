@@ -194,12 +194,14 @@ class Pipeline:
         original f32 tree on ``h.variables`` stays untouched (state-dict
         and save paths read it)."""
         import os
-        if os.environ.get("DD_FOLD_PARAMS", "0") != "1":
+        mode = os.environ.get("DD_FOLD_PARAMS", "0")
+        if mode not in ("1", "2"):
             return h.variables
         from ..models.layers import fold_inference_params
         ent = self._fold_cache.get(name)
         if ent is None or ent[0] is not h.variables:
-            folded = jax.jit(fold_inference_params)(h.variables)
+            folded = jax.jit(lambda v: fold_inference_params(
+                v, linear_only=mode == "2"))(h.variables)
             self._fold_cache[name] = (h.variables, folded)
             return folded
         return ent[1]

@@ -199,15 +199,17 @@ def main():
     emb2 = jnp.concatenate([emb_c, emb_u], axis=0)
     sp = SampleParams(steps=args.steps, cfg_scale=1.5, use_heun=True)
 
-    # matches bench's DD_FOLD_PARAMS=1 opt-in (off by default: measured
-    # slower with the Pallas conv routing, BASELINE r4)
+    # matches bench's DD_FOLD_PARAMS opt-in (1=all, 2=linear-only; off by
+    # default: full fold measured slower with the Pallas conv routing,
+    # BASELINE r4)
     from dualdiffusion_tpu.models.layers import fold_inference_params
-    use_fold = os.environ.get("DD_FOLD_PARAMS", "0") == "1"
+    fold_mode = os.environ.get("DD_FOLD_PARAMS", "0")
+    use_fold, lin_only = fold_mode in ("1", "2"), fold_mode == "2"
 
     if args.stage == "sampler":
         def run(k, uv):
             if use_fold:
-                uv = fold_inference_params(uv)
+                uv = fold_inference_params(uv, linear_only=lin_only)
             def denoise(x, sigma):
                 return unet.apply(uv, x, sigma, emb2)
             latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
@@ -220,7 +222,7 @@ def main():
 
         def run(latents, dv):
             if use_fold:
-                dv = fold_inference_params(dv)
+                dv = fold_inference_params(dv, linear_only=lin_only)
             return dae.apply(dv, latents, method=DAE.decode)
         fn = jax.jit(run)
         fargs = (lat, dvars)

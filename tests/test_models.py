@@ -436,3 +436,36 @@ def test_fold_inference_params_dae_parity(key):
     fast = dae.apply(fold_inference_params(v), lat, method=DAE.decode)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fold_inference_params_linear_only(key):
+    """linear_only=True folds just the 2-D (kernel-less linear) weights;
+    conv weights stay f32, and the forward still matches."""
+    from dualdiffusion_tpu.models.layers import fold_inference_params
+
+    cfg = tiny_unet_cfg(in_channels_emb=8)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    sigma = jnp.array([1.0, 10.0])
+    emb_in = jax.random.normal(key, (2, 8))
+    v = model.init(key, x, sigma, emb_in, method=UNet.init_all)
+    v["params"]["core"]["out_gain"] = jnp.ones(())
+    emb = model.apply(v, emb_in, jnp.ones(2), method=UNet.get_embeddings)
+
+    folded = fold_inference_params(v, linear_only=True)
+    import jax.tree_util as jtu
+    n2, nhi = 0, 0
+    for p, leaf in jtu.tree_leaves_with_path(folded):
+        name = getattr(p[-1], "key", "")
+        if name in ("w_mp", "w_raw"):
+            if leaf.ndim == 2:
+                assert leaf.dtype == jnp.bfloat16
+                n2 += 1
+            else:
+                assert leaf.dtype == jnp.float32
+                nhi += 1
+    assert n2 > 0 and nhi > 0
+    base = model.apply(v, x, sigma, emb)
+    fast = model.apply(folded, x, sigma, emb)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=2e-2, atol=2e-2)
