@@ -7,4 +7,5 @@ from .layers import (MPConv, MPFourier, AdaptiveGroupBalance,
                      filtered_upsample_3d, filtered_mp_silu_3d,
                      filtered_downsample_1d3, filtered_upsample_1d3,
                      MP_WEIGHT_NAME, RAW_WEIGHT_NAME,
-                     fold_inference_params)
+                     fold_inference_params, folded_params, fold_ctx,
+                     fold_env_mode)

@@ -50,6 +50,54 @@ def _pack_sel(kw: int, cross: int, p: int) -> np.ndarray:
 MP_WEIGHT_NAME = "w_mp"
 RAW_WEIGHT_NAME = "w_raw"
 
+# --- explicit folded-params marker -----------------------------------------
+# fold_inference_params() pre-applies MPConv's weight prep; apply calls that
+# use a folded tree must run under `with folded_params(...)`. Inferring
+# "already folded" from a non-f32 weight dtype (the pre-r5 behavior) made
+# any legitimately bf16-cast param tree (half-precision checkpoint, memory-
+# constrained serving) silently skip the sqrt(fan_in) scale and weight norm
+# (ADVICE r4 medium). Thread-local: bench compiles stages on worker threads.
+import contextlib as _contextlib
+import threading as _threading
+
+_FOLDED_TLS = _threading.local()
+
+
+@_contextlib.contextmanager
+def folded_params(mode: str = "all"):
+    """Mark enclosed ``apply`` calls as running on a tree produced by
+    :func:`fold_inference_params`. ``mode`` must match the fold:
+    "all" (every MP weight pre-folded) or "linear" (only the kernel-less
+    2-D weights; convs still carry raw weights). Trace-time scoped: wrap
+    the apply call inside the jitted function. Folded trees are
+    inference-only (no in-graph weight norm is possible)."""
+    if mode not in ("all", "linear"):
+        raise ValueError(f"folded_params mode must be all|linear, got {mode}")
+    prev = getattr(_FOLDED_TLS, "mode", None)
+    _FOLDED_TLS.mode = mode
+    try:
+        yield
+    finally:
+        _FOLDED_TLS.mode = prev
+
+
+def folded_mode() -> Optional[str]:
+    return getattr(_FOLDED_TLS, "mode", None)
+
+
+def fold_ctx(mode: Optional[str]):
+    """``folded_params(mode)`` when mode is truthy, else a nullcontext —
+    for call sites whose folding is flag-driven (DD_FOLD_PARAMS)."""
+    return folded_params(mode) if mode else _contextlib.nullcontext()
+
+
+def fold_env_mode() -> Optional[str]:
+    """The fold mode selected by DD_FOLD_PARAMS: 1 -> "all" (every MP
+    weight), 2 -> "linear" (kernel-less 2-D weights only), else None."""
+    import os
+    return {"1": "all", "2": "linear"}.get(
+        os.environ.get("DD_FOLD_PARAMS", "0"))
+
 
 def normalize_weight(w: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     """Per-output-channel unit-RMS weight norm (axis 0 = out channels)."""
@@ -59,9 +107,12 @@ def normalize_weight(w: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
 def fold_inference_params(variables, dtype=jnp.bfloat16,
                           linear_only: bool = False):
     """Pre-fold MP weight leaves for inference: divide by sqrt(fan_in)
-    once and store in ``dtype`` (bf16). MPConv detects non-f32 weight
-    leaves and skips its per-call weight prep, so inside a sampling
-    ``lax.scan`` the weights become loop-invariant bf16 buffers — the
+    once and store in ``dtype`` (bf16). Apply calls on the returned tree
+    MUST run under ``with folded_params("linear" if linear_only else
+    "all")`` — the explicit marker replaces the old non-f32-dtype
+    inference (ADVICE r4 medium) — so MPConv skips its per-call weight
+    prep and inside a sampling ``lax.scan`` the weights become
+    loop-invariant bf16 buffers — the
     ref-scale sampler profile measured per-step f32 weight slice /
     convert / copy DMA chains dominating the step span (slice-start 54%
     of device-op time) because XLA does not hoist them out of the while
@@ -92,6 +143,20 @@ def fold_inference_params(variables, dtype=jnp.bfloat16,
     return jax.tree_util.tree_map_with_path(fold, variables)
 
 
+def collect_wker(apply_fn, variables, *args, **kwargs):
+    """Run ONE apply with ``mutable=["wker"]`` to pre-arrange every
+    Pallas-routed conv weight into the kernel layout (bf16), then return
+    ``variables`` with the collected "wker" collection merged in. Call
+    OUTSIDE the sampling scan (the arrays become loop-invariant buffers);
+    subsequent applies with the returned tree skip all in-loop weight
+    rearrange/convert chains (VERDICT r4 #2). The prep pass must use the
+    REAL input shapes — the per-level routing predicate depends on them."""
+    _, mut = apply_fn(variables, *args, mutable=["wker"], **kwargs)
+    out = dict(variables)
+    out.update(mut)
+    return out
+
+
 class MPConv(nn.Module):
     """Weight-normalized magnitude-preserving conv / linear.
 
@@ -115,19 +180,36 @@ class MPConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, gain: Union[float, jnp.ndarray] = 1.0,
                  training: bool = False, grouped_in: bool = False,
-                 grouped_out: bool = False, w_pack: int = 1) -> jnp.ndarray:
+                 grouped_out: bool = False, w_pack: int = 1,
+                 pallas_in: bool = False, pallas_out: bool = False,
+                 pallas_w: int = 0) -> jnp.ndarray:
+        """``pallas_in``/``pallas_out``: accept/produce the Pallas grouped
+        conv's native (G, B, H, c, W) layout instead of merged NHWC, so
+        back-to-back convs pay the NHWC relayout once per chain
+        (VERDICT r4 #2). ``pallas_w`` is the true W when pallas_in.
+        The caller must have verified the Pallas route applies
+        (ops.pallas.grouped_conv.supported)."""
         kshape = (self.out_channels, self.in_channels // self.groups) + tuple(self.kernel)
         init = nn.initializers.zeros if self.zero_init else nn.initializers.normal(1.0)
         name = RAW_WEIGHT_NAME if self.disable_weight_norm else MP_WEIGHT_NAME
         w = self.param(name, init, kshape, jnp.float32)
 
         # fold_inference_params() pre-divides by sqrt(fan_in) and stores
-        # the leaf in bf16; a non-f32 leaf signals the prep is already
-        # done. Inside a sampling scan this keeps the weights loop-
-        # invariant (no per-step divide/convert/copy chains — the
-        # ref-scale sampler profile showed f32 weight slice+convert DMA
-        # dominating the step span).
-        folded = w.dtype != jnp.float32
+        # the leaf in bf16; the caller marks such trees EXPLICITLY with
+        # `with folded_params(mode)` (never inferred from dtype — a
+        # legitimately bf16-cast tree must still get the full prep,
+        # ADVICE r4 medium). Inside a sampling scan folding keeps the
+        # weights loop-invariant (no per-step divide/convert/copy chains —
+        # the ref-scale sampler profile showed f32 weight slice+convert
+        # DMA dominating the step span).
+        fmode = folded_mode()
+        folded = fmode == "all" or (fmode == "linear"
+                                    and len(self.kernel) == 0)
+        if folded and training:
+            raise ValueError(
+                "folded_params trees are inference-only (no in-graph "
+                "weight norm); apply with training=False or use the "
+                "unfolded variables")
         if not folded:
             if training and not self.disable_weight_norm:
                 w = normalize_weight(w)
@@ -157,6 +239,8 @@ class MPConv(nn.Module):
                 out = jnp.matmul(x, w.T.astype(x.dtype))
         elif w_pack > 1:
             out = self._packed_conv(x, w, w_pack)
+        elif pallas_in or pallas_out:
+            out = self._pallas_conv(x, w, pallas_in, pallas_out, pallas_w)
         else:
             out = self._conv(x, w, grouped_in=grouped_in,
                              grouped_out=grouped_out, training=training)
@@ -164,7 +248,8 @@ class MPConv(nn.Module):
         if gain_on_out:
             out = out * gain.astype(out.dtype)
         if not scalar_gain:
-            assert not grouped_out, "array gain requires merged NHWC output"
+            assert not (grouped_out or pallas_out), \
+                "array gain requires merged NHWC output"
             if gain.ndim == 2:  # (B, C_out) -> (B, 1, ..., 1, C_out)
                 g = gain.reshape((gain.shape[0],) + (1,) * (out.ndim - 2) + (gain.shape[1],))
             else:               # (B,) -> (B, 1, ..., 1)
@@ -172,7 +257,8 @@ class MPConv(nn.Module):
             out = out * g.astype(out.dtype)
 
         if self.use_bias:
-            assert not grouped_out, "bias requires merged NHWC output"
+            assert not (grouped_out or pallas_out), \
+                "bias requires merged NHWC output"
             group_dim = self.out_channels // self.groups
             sign = np.where(np.arange(self.out_channels) % 2 == 0, 1.0, -1.0)
             bias = self.param("bias", lambda key, s: jnp.asarray(
@@ -181,6 +267,40 @@ class MPConv(nn.Module):
                 bias = jnp.tile(bias, w_pack)
             out = out + bias.astype(out.dtype)
         return out
+
+    def _wker(self, w: jnp.ndarray, dtype) -> jnp.ndarray:
+        """Pre-arranged Pallas kernel-layout weights (G, 9*cig, cog).
+
+        When the "wker" collection holds this module's entry (collected by
+        a prior apply with ``mutable=["wker"]`` OUTSIDE the sampling scan
+        — see collect_wker), it is returned as-is: a loop-invariant bf16
+        buffer with no per-step rearrange/convert (VERDICT r4 #2). The
+        entry bakes in everything already applied to ``w`` here (fan-in
+        scale, scalar gain) — both passes trace the same prep, so the
+        values agree. Outside that protocol the layout prep happens
+        in-graph per call (today's behavior)."""
+        name = (RAW_WEIGHT_NAME if self.disable_weight_norm
+                else MP_WEIGHT_NAME) + "_ker"
+        if not self.is_initializing() and self.has_variable("wker", name):
+            return self.get_variable("wker", name)
+        from ..ops.pallas.grouped_conv import prepare_kernel_weights
+        wt = prepare_kernel_weights(w, self.groups, dtype=dtype)
+        # record ONLY on an explicit collect pass (mutable=["wker"]) —
+        # never at init, where every collection is mutable and the entry
+        # would leak into the param tree (and the optimizer state)
+        if not self.is_initializing() and self.is_mutable_collection("wker"):
+            self.put_variable("wker", name, wt)
+        return wt
+
+    def _pallas_conv(self, x: jnp.ndarray, w: jnp.ndarray, p_in: bool,
+                     p_out: bool, w_out: int) -> jnp.ndarray:
+        """Pallas grouped conv with kernel-layout I/O threading (the
+        caller verified ops.pallas.grouped_conv.supported)."""
+        from ..ops.pallas.grouped_conv import grouped_conv2d_3x3_pre_jit
+        wt = self._wker(w, x.dtype)
+        return grouped_conv2d_3x3_pre_jit(
+            x, wt, self.groups, "gk" if p_in else "nhwc",
+            "gk" if p_out else "nhwc", w_out if p_in else 0)
 
     def _grouped_packed_conv(self, x: jnp.ndarray,
                              w: jnp.ndarray) -> jnp.ndarray:
@@ -352,9 +472,15 @@ class MPConv(nn.Module):
                     and nd == 2 and self.stride == 1 and not grouped_in
                     and not grouped_out and self.w_pad_mode != "reflect"):
                 from ..ops.pallas.grouped_conv import (
-                    grouped_conv2d_3x3_jit, supported)
+                    grouped_conv2d_3x3_jit, grouped_conv2d_3x3_pre_jit,
+                    supported)
                 if supported(x.shape, self.kernel, self.stride, self.groups):
-                    return grouped_conv2d_3x3_jit(x, w, self.groups)
+                    if training:
+                        # differentiable entry (custom VJP wrt x AND w)
+                        return grouped_conv2d_3x3_jit(x, w, self.groups)
+                    return grouped_conv2d_3x3_pre_jit(
+                        x, self._wker(w, x.dtype), self.groups,
+                        "nhwc", "nhwc", 0)
             if (os.environ.get("DD_GROUPED_PACKED_CONV", "0") in ("1", "2")
                     and nd == 2 and self.stride == 1 and not grouped_in
                     and not grouped_out and self.w_pad_mode != "reflect"

@@ -205,10 +205,28 @@ class UNetBlock(nn.Module):
         grouped = (cfg.mlp_groups > 1
                    and os.environ.get("DD_GROUPED_CONV_NATIVE", "0") != "1"
                    and not pallas_takes)
+        # Pallas kernel-layout threading across the res0/res1 pair
+        # (DD_PALLAS_PAIR=1): the intermediate stays in the kernel's
+        # native (G, B, H, c, W) layout — the elementwise silu/emb-gain
+        # between the convs is layout-agnostic — so the NHWC relayout
+        # copies are paid once per pair instead of per conv (the r4
+        # profile attributed ~0.7 s of the ref-scale sampler to them).
+        # Inference-only (the *_pre entry has no VJP).
+        pair_mode = os.environ.get("DD_PALLAS_PAIR", "0")
+        pallas_pair = (pallas_takes and not training and pair_mode != "0"
+                       and not cfg.use_3d and wp == 1
+                       and cfg.conv_w_pad != "reflect"
+                       and cfg.dropout == 0.0
+                       and (cfg.mlp_groups > 1 or pair_mode == "all"))
+        if pallas_pair:
+            from ..ops.pallas.grouped_conv import supported
+            pallas_pair = supported(x.shape, (3, 3), 1, cfg.mlp_groups)
+        pair_w = x.shape[-2]
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,
                    name="conv_res0")(
-            mp_silu(x), training=training, grouped_out=grouped, w_pack=wp)
+            mp_silu(x), training=training, grouped_out=grouped, w_pack=wp,
+            pallas_out=pallas_pair)
 
         if self.emb_channels > 0 and emb is not None:
             emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
@@ -220,6 +238,11 @@ class UNetBlock(nn.Module):
                 cg = jnp.moveaxis(cg, 1, 0)
                 c = cg.reshape(cg.shape[:2] + (1,) * (y.ndim - 3)
                                + cg.shape[-1:])
+            elif pallas_pair:
+                # kernel layout (G, B, H, c/G, W): gain broadcasts over
+                # H (axis 2) and W (axis 4)
+                cg = c.reshape(c.shape[0], cfg.mlp_groups, -1)
+                c = jnp.moveaxis(cg, 1, 0)[:, :, None, :, None]
             else:
                 if wp > 1:  # per-channel gain tiles over pack positions
                     c = jnp.tile(c, (1, wp))
@@ -236,7 +259,8 @@ class UNetBlock(nn.Module):
         y = MPConv(c_mid, self.out_channels, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,
                    name="conv_res1")(
-            y, training=training, grouped_in=grouped, w_pack=wp)
+            y, training=training, grouped_in=grouped, w_pack=wp,
+            pallas_in=pallas_pair, pallas_w=pair_w)
 
         if self.flavor == "dec" and (cfg.always_skip
                                      or self.in_channels != self.out_channels):

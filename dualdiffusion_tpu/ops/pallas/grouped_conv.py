@@ -127,29 +127,75 @@ def _lax_reference(x: jnp.ndarray, w: jnp.ndarray,
         feature_group_count=groups)
 
 
-def _fwd_impl(x: jnp.ndarray, w: jnp.ndarray, groups: int) -> jnp.ndarray:
+def prepare_kernel_weights(w: jnp.ndarray, groups: int,
+                           dtype=None,
+                           fan_in_scale: bool = False) -> jnp.ndarray:
+    """(G*cog, cig, 3, 3) -> the kernel's weight layout (G, 9*cig, cog),
+    K order (dy, dx, cig). ``fan_in_scale`` folds MPConv's 1/sqrt(fan_in)
+    in. Precompute OUTSIDE a sampling scan (and store bf16) to make the
+    weights loop-invariant: XLA does not hoist the transpose out of the
+    while body, and on bf16 input it lowers to a per-step sync retile
+    copy (+1.9 s/100 steps at ref scale, BASELINE r4)."""
+    co, cig = w.shape[0], w.shape[1]
+    cog = co // groups
+    wt = w.reshape(groups, cog, cig, 3, 3)
+    wt = jnp.transpose(wt, (0, 3, 4, 2, 1)).reshape(groups, 9 * cig, cog)
+    if fan_in_scale:
+        wt = wt / np.sqrt(cig * 9)
+    return wt.astype(dtype) if dtype is not None else wt
+
+
+def _to_kernel_layout(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """NHWC (B, H, W, G*cig) -> padded kernel layout
+    (G, B, H+2, cig, Wlanes): the halo pad + the activation relayout the
+    kernel consumes. Thread this layout through back-to-back convs
+    (layout="gk") to pay the transpose once per chain."""
     b, h, wdim, c = x.shape
-    co = w.shape[0]
-    cig, cog = c // groups, co // groups
-    th = _pick_th(h)
+    cig = c // groups
     xt = x.reshape(b, h, wdim, groups, cig)
     xt = jnp.transpose(xt, (3, 0, 1, 4, 2))          # (G, B, H, cig, W)
     # W padding: 1 halo column each side, then up to a 128-lane multiple —
     # Mosaic requires DMA slice shapes 128-aligned on the lane dim
     w_lanes = -(-(wdim + 2) // 128) * 128
-    xt = jnp.pad(xt, [(0, 0), (0, 0), (1, 1), (0, 0),
-                      (1, w_lanes - wdim - 1)])
-    wt = w.reshape(groups, cog, cig, 3, 3)
+    return jnp.pad(xt, [(0, 0), (0, 0), (1, 1), (0, 0),
+                        (1, w_lanes - wdim - 1)])
+
+
+def _pad_kernel_layout(y: jnp.ndarray, wdim: int) -> jnp.ndarray:
+    """Re-apply the halo pad to an UNPADDED kernel-layout activation
+    (G, B, H, c, W) — the output of a previous conv in the chain."""
+    w_lanes = -(-(wdim + 2) // 128) * 128
+    return jnp.pad(y, [(0, 0), (0, 0), (1, 1), (0, 0),
+                       (1, w_lanes - wdim - 1)])
+
+
+def _fwd_core(xt: jnp.ndarray, wt: jnp.ndarray, wdim: int,
+              out_dtype) -> jnp.ndarray:
+    """Padded kernel-layout input (G, B, H+2, cig, Wlanes) x prepared
+    weights (G, 9*cig, cog) -> (G, B, H, cog, W)."""
+    h = xt.shape[2] - 2
+    return _pallas_grouped_conv(xt, wt.astype(xt.dtype), _pick_th(h),
+                                wdim, out_dtype)
+
+
+def _from_kernel_layout(out: jnp.ndarray) -> jnp.ndarray:
+    """(G, B, H, cog, W) -> NHWC (B, H, W, G*cog)."""
+    gg, b, h, cog, wdim = out.shape
+    return jnp.transpose(out, (1, 2, 4, 0, 3)).reshape(b, h, wdim, gg * cog)
+
+
+def _fwd_impl(x: jnp.ndarray, w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    b, h, wdim, c = x.shape
+    xt = _to_kernel_layout(x, groups)
     # NOTE: pre-folded bf16 weights (fold_inference_params) make this
     # transpose lower to an unfused sync retile copy per scan step
     # (+1.9 s/100 steps at ref scale); an f32 sandwich around it does NOT
     # restore the fusion (measured 5.22 s vs 5.24 s, BASELINE r4) — keep
-    # f32 weights on the Pallas sampler path
-    wt = jnp.transpose(wt, (0, 3, 4, 2, 1)).reshape(
-        groups, 9 * cig, cog).astype(x.dtype)
-    out = _pallas_grouped_conv(xt, wt, th, wdim, x.dtype)
-    out = jnp.transpose(out, (1, 2, 4, 0, 3)).reshape(b, h, wdim, co)
-    return out
+    # f32 weights here, or precompute with prepare_kernel_weights OUTSIDE
+    # the scan (MPConv's "wker" collection) and call the *_pre entry
+    wt = prepare_kernel_weights(w, groups, dtype=x.dtype)
+    out = _fwd_core(xt, wt, wdim, x.dtype)
+    return _from_kernel_layout(out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -214,6 +260,36 @@ grouped_conv2d_3x3.defvjp(_vjp_fwd, _vjp_bwd)
 # per call site (measured: the ref-scale sampler prepare grew ~+100 s of
 # GIL-bound lowering with per-site tracing)
 grouped_conv2d_3x3_jit = jax.jit(grouped_conv2d_3x3, static_argnums=2)
+
+
+def grouped_conv2d_3x3_pre(x: jnp.ndarray, wt: jnp.ndarray, groups: int,
+                           layout_in: str = "nhwc",
+                           layout_out: str = "nhwc",
+                           w_out: int = 0) -> jnp.ndarray:
+    """Inference entry with PRE-ARRANGED weights and layout threading.
+
+    ``wt`` is the output of :func:`prepare_kernel_weights` (G, 9*cig, cog)
+    — computed OUTSIDE the sampling scan (MPConv's "wker" collection) so
+    no per-step weight rearrange/convert runs inside the loop.
+
+    ``layout_in``/``layout_out``: "nhwc" (merged channels-last) or "gk"
+    (the kernel's native (G, B, H, c, W), UNPADDED) — back-to-back convs
+    thread "gk" to pay the NHWC relayout once per chain (the r4 profile
+    attributed ~0.7 s of the 3.82 s ref-scale sampler to these transpose
+    copies). ``w_out`` is the true W (required for layout_in="gk").
+    """
+    if layout_in == "nhwc":
+        w_out = x.shape[-2]
+        xt = _to_kernel_layout(x, groups)
+    else:
+        assert w_out > 0, "w_out required for layout_in='gk'"
+        xt = _pad_kernel_layout(x, w_out)
+    out = _fwd_core(xt, wt, w_out, x.dtype)
+    return out if layout_out == "gk" else _from_kernel_layout(out)
+
+
+grouped_conv2d_3x3_pre_jit = jax.jit(grouped_conv2d_3x3_pre,
+                                     static_argnums=(2, 3, 4, 5))
 
 
 def supported(x_shape: Tuple[int, ...], kernel: Tuple[int, ...],

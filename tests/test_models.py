@@ -390,7 +390,8 @@ def test_fold_inference_params_unet_parity(key):
     """Folded (bf16, fan-in-scaled) params produce the same UNet forward
     as the per-call weight prep, within bf16 weight-quantization noise —
     and fold leaves only w_mp/w_raw leaves touched."""
-    from dualdiffusion_tpu.models.layers import fold_inference_params
+    from dualdiffusion_tpu.models.layers import (fold_inference_params,
+                                                 folded_params)
 
     cfg = tiny_unet_cfg(in_channels_emb=8)
     model = UNet(cfg)
@@ -403,7 +404,8 @@ def test_fold_inference_params_unet_parity(key):
 
     base = model.apply(v, x, sigma, emb)
     folded = fold_inference_params(v)
-    fast = model.apply(folded, x, sigma, emb)
+    with folded_params():
+        fast = model.apply(folded, x, sigma, emb)
     assert fast.dtype == base.dtype
     np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
                                rtol=2e-2, atol=2e-2)
@@ -425,7 +427,8 @@ def test_fold_inference_params_unet_parity(key):
 
 
 def test_fold_inference_params_dae_parity(key):
-    from dualdiffusion_tpu.models.layers import fold_inference_params
+    from dualdiffusion_tpu.models.layers import (fold_inference_params,
+                                                 folded_params)
 
     cfg = tiny_dae_cfg()
     dae = DAE(cfg)
@@ -433,7 +436,8 @@ def test_fold_inference_params_dae_parity(key):
     v = dae.init(key, x)
     lat = dae.apply(v, x, method=DAE.encode)
     base = dae.apply(v, lat, method=DAE.decode)
-    fast = dae.apply(fold_inference_params(v), lat, method=DAE.decode)
+    with folded_params():
+        fast = dae.apply(fold_inference_params(v), lat, method=DAE.decode)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
                                rtol=2e-2, atol=2e-2)
 
@@ -441,7 +445,8 @@ def test_fold_inference_params_dae_parity(key):
 def test_fold_inference_params_linear_only(key):
     """linear_only=True folds just the 2-D (kernel-less linear) weights;
     conv weights stay f32, and the forward still matches."""
-    from dualdiffusion_tpu.models.layers import fold_inference_params
+    from dualdiffusion_tpu.models.layers import (fold_inference_params,
+                                                 folded_params)
 
     cfg = tiny_unet_cfg(in_channels_emb=8)
     model = UNet(cfg)
@@ -466,6 +471,48 @@ def test_fold_inference_params_linear_only(key):
                 nhi += 1
     assert n2 > 0 and nhi > 0
     base = model.apply(v, x, sigma, emb)
-    fast = model.apply(folded, x, sigma, emb)
+    with folded_params("linear"):
+        fast = model.apply(folded, x, sigma, emb)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_cast_tree_still_gets_weight_prep(key):
+    """A param tree cast to bf16 (half-precision checkpoint, memory-
+    constrained serving) must still receive the full MPConv weight prep —
+    the pre-r5 dtype-based folding inference silently skipped the
+    sqrt(fan_in) scale on such trees (ADVICE r4 medium)."""
+    cfg = tiny_unet_cfg(in_channels_emb=8)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    sigma = jnp.array([1.0, 10.0])
+    emb_in = jax.random.normal(key, (2, 8))
+    v = model.init(key, x, sigma, emb_in, method=UNet.init_all)
+    v["params"]["core"]["out_gain"] = jnp.ones(())
+    emb = model.apply(v, emb_in, jnp.ones(2), method=UNet.get_embeddings)
+    base = model.apply(v, x, sigma, emb)
+
+    cast = jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.bfloat16)
+        if hasattr(t, "dtype") and t.dtype == jnp.float32 else t, v)
+    out = model.apply(cast, x, sigma, emb)
+    # must match the f32 forward up to bf16 quantization noise — NOT blow
+    # up by ~sqrt(fan_in) per layer
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_folded_params_training_raises(key):
+    from dualdiffusion_tpu.models.layers import (fold_inference_params,
+                                                 folded_params)
+    cfg = tiny_unet_cfg(in_channels_emb=8)
+    model = UNet(cfg)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    sigma = jnp.array([1.0, 10.0])
+    emb_in = jax.random.normal(key, (2, 8))
+    v = model.init(key, x, sigma, emb_in, method=UNet.init_all)
+    folded = fold_inference_params(v)
+    with pytest.raises(ValueError, match="inference-only"):
+        with folded_params():
+            model.apply(folded, x, sigma, None, training=True,
+                        rngs={"dropout": key})

@@ -220,3 +220,81 @@ def test_grouped_conv_pallas_training_grads(rng, monkeypatch):
                     jax.tree_util.tree_leaves(base_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_grouped_conv_pre_entry_and_layout_threading(rng):
+    """grouped_conv2d_3x3_pre (pre-arranged weights, kernel-layout I/O
+    threading) must equal the standard entry for every layout combo."""
+    from dualdiffusion_tpu.ops.pallas.grouped_conv import (
+        _from_kernel_layout, _lax_reference, _to_kernel_layout,
+        grouped_conv2d_3x3_pre, prepare_kernel_weights)
+
+    b, h, wd, ci, co, g = 2, 4, 96, 64, 128, 4
+    x = jnp.asarray(rng.standard_normal((b, h, wd, ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((co, ci // g, 3, 3)).astype(np.float32))
+    want = _lax_reference(x, w, g)
+    wt = prepare_kernel_weights(w, g)
+
+    got = grouped_conv2d_3x3_pre(x, wt, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+    # gk output -> NHWC re-merge equals the merged output
+    gk = grouped_conv2d_3x3_pre(x, wt, g, layout_out="gk")
+    assert gk.shape == (g, b, h, co // g, wd)
+    np.testing.assert_allclose(np.asarray(_from_kernel_layout(gk)),
+                               np.asarray(want), rtol=1e-5, atol=1e-4)
+
+    # gk input (threaded from a previous conv in the chain)
+    w2 = jnp.asarray(rng.standard_normal((ci, co // g, 3, 3)).astype(np.float32))
+    wt2 = prepare_kernel_weights(w2, g)
+    chained = grouped_conv2d_3x3_pre(gk, wt2, g, layout_in="gk", w_out=wd)
+    ref2 = _lax_reference(want, w2, g)
+    np.testing.assert_allclose(np.asarray(chained), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_wker_collection_skips_inloop_prep(rng, monkeypatch):
+    """collect_wker gathers pre-arranged kernel-layout weights in one
+    mutable pass; applying with the merged tree gives identical results
+    (the in-loop rearrange is replaced by the stored buffer)."""
+    from dualdiffusion_tpu.models.layers import MPConv, collect_wker
+
+    monkeypatch.setenv("DD_GROUPED_PALLAS_CONV", "1")
+    conv = MPConv(64, 128, (3, 3), groups=8)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 4, 128, 64))
+    v = conv.init(key, x)
+    base = conv.apply(v, x)
+    v_wker = collect_wker(conv.apply, v, x)
+    assert "wker" in v_wker and jax.tree_util.tree_leaves(v_wker["wker"])
+    fast = conv.apply(v_wker, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_pair_threading_unet_parity(rng, monkeypatch):
+    """DD_PALLAS_PAIR=1 (kernel-layout threading across the MLP conv
+    pair) + wker collection must leave the UNet forward unchanged."""
+    from dualdiffusion_tpu.models.layers import collect_wker
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=32,
+                     model_channels=32, channel_mult=(1, 2),
+                     num_layers_per_block=1, channels_per_head=16,
+                     mlp_multiplier=2, mlp_groups=4, logvar_channels=16)
+    unet = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 8, 128, 4))
+    emb = jax.random.normal(key, (1, 32))
+    v = jax.jit(lambda k: unet.init(k, x, jnp.ones((1,)), emb,
+                                    method=UNet.init_all))(key)
+    cond = unet.apply(v, emb, jnp.ones((1,)), method=UNet.get_embeddings)
+    monkeypatch.setenv("DD_GROUPED_PALLAS_CONV", "0")
+    base = unet.apply(v, x, jnp.full((1,), 2.0), cond)
+    monkeypatch.setenv("DD_GROUPED_PALLAS_CONV", "1")
+    monkeypatch.setenv("DD_PALLAS_PAIR", "1")
+    v2 = collect_wker(unet.apply, v, x, jnp.full((1,), 2.0), cond)
+    fast = unet.apply(v2, x, jnp.full((1,), 2.0), cond)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)
