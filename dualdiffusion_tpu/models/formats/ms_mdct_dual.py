@@ -219,7 +219,8 @@ class MSMDCTDualFormat(Format):
 
     def sample_to_raw_fgla(self, mel_spec: jnp.ndarray,
                            n_fgla_iters: int = 200,
-                           key: Optional[jax.Array] = None) -> jnp.ndarray:
+                           key: Optional[jax.Array] = None,
+                           phase_init: Optional[str] = None) -> jnp.ndarray:
         """FGLA fallback decode for the dual format: mel -> linear PSD ->
         Griffin-Lim on the 4096-pt STFT grid. The reference decodes this
         format only through the DDEC; this provides the legacy FGLA path so
@@ -235,7 +236,7 @@ class MSMDCTDualFormat(Format):
         win = get_window("hann", cfg.ms_window_length, periodic=True)
         return griffinlim(mag, win, cfg.ms_window_length, cfg.ms_hop_length,
                           n_iter=n_fgla_iters, stereo=cfg.num_raw_channels == 2,
-                          key=key)
+                          key=key, phase_init=phase_init or "flat")
 
     # ---- mdct path -----------------------------------------------------------
     def raw_to_mdct(self, raw: jnp.ndarray, random_phase_augmentation: bool = False,

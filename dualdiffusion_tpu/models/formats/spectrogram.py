@@ -110,7 +110,19 @@ class SpectrogramFormat(Format):
 
     def get_raw_crop_width(self, raw_length: Optional[int] = None) -> int:
         raw_length = raw_length or self.config.default_raw_length
-        num_frames = self.get_num_frames(raw_length) // 128 * 128
+        num_frames = self.get_num_frames(raw_length)
+        if num_frames >= 128:
+            num_frames = num_frames // 128 * 128
+        elif num_frames >= 1:
+            # sub-128-frame lengths (tiny models / tests): the reference's
+            # 128-frame floor (old/spectrogram.py:172-174) would floor to
+            # ZERO frames here; use the largest power of two <= num_frames
+            # instead, which preserves UNet/DAE width divisibility
+            num_frames = 1 << (num_frames.bit_length() - 1)
+        else:
+            raise ValueError(
+                f"requested length {raw_length} is shorter than one "
+                f"spectrogram frame")
         return self.get_audio_len(num_frames)
 
     def get_sample_shape(self, bsz: int = 1, raw_length: Optional[int] = None) -> Tuple[int, ...]:
@@ -139,9 +151,15 @@ class SpectrogramFormat(Format):
         return jnp.transpose(mel, (0, 2, 3, 1))           # (B, F_mel, frames, C)
 
     def sample_to_raw(self, sample: jnp.ndarray, n_fgla_iters: Optional[int] = None,
-                      key: Optional[jax.Array] = None) -> jnp.ndarray:
-        """(B, F, T', C) -> (B, C, T) via mel unscale + FGLA."""
+                      key: Optional[jax.Array] = None,
+                      phase_init: Optional[str] = None) -> jnp.ndarray:
+        """(B, F, T', C) -> (B, C, T) via mel unscale + FGLA.
+
+        ``phase_init`` overrides the config's FGLA phase init ("flat" or
+        "spsi"); Pipeline.generate passes SampleParams.fgla_phase_init
+        (production default: spsi@100 — BASELINE.md r4 quality evidence)."""
         cfg = self.config
+        phase_init = phase_init or cfg.fgla_phase_init
         mel = sample / cfg.raw_to_sample_scale + cfg.sample_mean
         mel = jnp.maximum(jnp.transpose(mel, (0, 3, 1, 2)), 0.0)            # (B,C,F,T')
         mag_lin = self.freq_scale.unscale(mel ** (1.0 / cfg.abs_exponent))  # (B,C,bins,T')
@@ -164,13 +182,13 @@ class SpectrogramFormat(Format):
                     momentum=cfg.fgla_momentum, stereo=cfg.stereo,
                     stereo_coherence=cfg.stereo_coherence,
                     work_dtype=cfg.fgla_work_dtype,
-                    phase_init=cfg.fgla_phase_init)
+                    phase_init=phase_init)
         return griffinlim(mag_lin, self.window, cfg.padded_length, cfg.hop_length,
                           n_iter=n_fgla_iters or cfg.num_fgla_iters,
                           momentum=cfg.fgla_momentum, stereo=cfg.stereo,
                           stereo_coherence=cfg.stereo_coherence, key=key,
                           work_dtype=cfg.fgla_work_dtype,
-                          phase_init=cfg.fgla_phase_init)
+                          phase_init=phase_init)
 
     def get_ln_freqs(self) -> jnp.ndarray:
         """log-spaced mel center frequencies, normalized (used as a

@@ -133,6 +133,11 @@ def load_module(path: Union[str, Path], name: str,
     variables = None
     weights = d / f"{name}.safetensors"
     if load_ema:
+        # load_ema may arrive from the web UI's /api/load_model POST —
+        # reject path separators so the selection cannot traverse out of
+        # the module directory (same hardening as checkpoint selections)
+        if re.search(r"[/\\\0]|\.\.", load_ema):
+            raise ValueError(f"invalid EMA selection {load_ema!r}")
         ema_path = d / f"ema_{load_ema}.safetensors"
         if ema_path.is_file():
             weights = ema_path
@@ -193,18 +198,24 @@ class Pipeline:
         and lowers to per-step sync retile copies (BASELINE r4). The
         original f32 tree on ``h.variables`` stays untouched (state-dict
         and save paths read it)."""
-        import os
-        mode = os.environ.get("DD_FOLD_PARAMS", "0")
-        if mode not in ("1", "2"):
+        from ..models.layers import fold_env_mode, fold_inference_params
+        mode = fold_env_mode()
+        if mode is None:
             return h.variables
-        from ..models.layers import fold_inference_params
         ent = self._fold_cache.get(name)
         if ent is None or ent[0] is not h.variables:
             folded = jax.jit(lambda v: fold_inference_params(
-                v, linear_only=mode == "2"))(h.variables)
+                v, linear_only=mode == "linear"))(h.variables)
             self._fold_cache[name] = (h.variables, folded)
             return folded
         return ent[1]
+
+    @staticmethod
+    def _fold_ctx():
+        """Context marking apply calls on _folded_variables trees
+        (layers.folded_params); a nullcontext when folding is off."""
+        from ..models.layers import fold_ctx, fold_env_mode
+        return fold_ctx(fold_env_mode())
 
     def _jitted(self, name: str, fn):
         """Cache a jitted stage callable; params/inputs stay ARGUMENTS so
@@ -332,6 +343,17 @@ class Pipeline:
                     cand = str(sel)
                     if cand.isdigit():
                         cand = f"{name}_checkpoint-{cand}"
+                    # the selection may arrive from the web UI's
+                    # /api/load_model POST: accept only the module's own
+                    # `<module>_checkpoint-<step>` names (no path
+                    # separators / traversal out of the model directory —
+                    # ADVICE r4 low)
+                    if not re.fullmatch(
+                            rf"{re.escape(name)}_checkpoint-\d+", cand):
+                        raise ValueError(
+                            f"invalid checkpoint selection {sel!r} for "
+                            f"module '{name}': expected 'latest', 'root', "
+                            f"a step number, or '{name}_checkpoint-<step>'")
                     ckpt = model_path / cand
                     if not ckpt.is_dir():
                         raise FileNotFoundError(
@@ -451,10 +473,13 @@ class Pipeline:
 
         if audio_embedding is not None and ucfg.in_channels_emb > 0:
             from ..models.unet import UNet as _U
-            emb_fn = self._jitted(
-                f"{module_name}_get_embeddings",
-                lambda v, e, m: unet.apply(v, e, m,
-                                           method=_U.get_embeddings))
+
+            def _emb_apply(v, e, m):
+                with self._fold_ctx():  # uvars may be a folded tree
+                    return unet.apply(v, e, m, method=_U.get_embeddings)
+
+            emb_fn = self._jitted(f"{module_name}_get_embeddings",
+                                  _emb_apply)
             emb_c = emb_fn(uvars, audio_embedding,
                            jnp.ones((audio_embedding.shape[0],)))
             emb_u = emb_fn(uvars, audio_embedding,
@@ -474,7 +499,8 @@ class Pipeline:
         ref_in = ref2 if use_cfg else x_ref
 
         def denoise(x, sigma, ref=None):
-            return unet.apply(uvars, x, sigma, emb2, ref)
+            with self._fold_ctx():
+                return unet.apply(uvars, x, sigma, emb2, ref)
 
         # the ref is passed through the sampler (not closed over) so the
         # seamless-loop torus shift can roll it with the sample
@@ -570,10 +596,12 @@ class Pipeline:
                 # heterogeneous placement: move the stage input to the
                 # DAE's committed device (jit rejects mixed placements)
                 latents = jax.device_put(latents, dae_h.device)
-            mel = self._jitted(
-                "dae_decode",
-                lambda v, z: dae_h.module.apply(
-                    v, z, method=_DAE.decode).astype(jnp.float32))(
+            def _dae_decode(v, z):
+                with self._fold_ctx():
+                    return dae_h.module.apply(
+                        v, z, method=_DAE.decode).astype(jnp.float32)
+
+            mel = self._jitted("dae_decode", _dae_decode)(
                 self._folded_variables("dae", dae_h), latents)
         else:
             mel_shape = fmt.get_sample_shape(params.batch_size, params.length)
@@ -607,9 +635,18 @@ class Pipeline:
             decode = (fmt.sample_to_raw_fgla
                       if hasattr(fmt, "sample_to_raw_fgla")
                       else fmt.sample_to_raw)
+            # production FGLA default: spsi@100 (SampleParams) — measured
+            # better spectral convergence than flat@200 at equal wall
+            # clock on mel-inverted magnitudes (BASELINE.md r4; VERDICT
+            # r4 #6). Formats without a phase_init kwarg keep their config.
+            import inspect
+            kw = {}
+            pi = getattr(params, "fgla_phase_init", None)
+            if pi and "phase_init" in inspect.signature(decode).parameters:
+                kw["phase_init"] = pi
             raw = self._jitted(
-                f"sample_to_raw_{ni}",
-                lambda m, k: decode(m, n_fgla_iters=ni, key=k))(mel, k3)
+                f"sample_to_raw_{ni}_{kw.get('phase_init', 'cfg')}",
+                lambda m, k: decode(m, n_fgla_iters=ni, key=k, **kw))(mel, k3)
 
         if params.seamless_loop:
             from ..sampling.sampler import seamless_loop_crossfade

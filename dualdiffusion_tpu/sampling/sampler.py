@@ -59,7 +59,14 @@ class SampleParams:
     perturbation_shape: str = "cosh"
     renormalize_per_step: Optional[bool] = None   # default: shape == "cosh"
     init_noise_mode: str = "sigma_max"            # or "sigma_plus_data"
-    num_fgla_iters: int = 200
+    # production FGLA decode default: phase-locked SPSI init at 100
+    # iterations — on mel-INVERTED magnitudes (the decode input) it
+    # measured conv_err 0.054 vs flat@200's 0.081 at the SAME TPU wall
+    # clock (BASELINE.md r4; VERDICT r4 #6). The bench default stays
+    # flat@200 (the reference workload definition,
+    # /root/reference/src/modules/formats/old/spectrogram.py:71-74).
+    num_fgla_iters: int = 100
+    fgla_phase_init: Optional[str] = "spsi"       # None = format config
 
     img2img_strength: float = 0.5
     seamless_loop: bool = False
@@ -148,6 +155,13 @@ def edm_sample(denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     """
     consts, sched = _per_step_constants(params, sigma_max, sigma_min, sigma_data)
     b = sample_shape[0]
+
+    # jit the model call so Heun's second call per step REUSES the traced
+    # jaxpr (pjit callee cache) instead of retracing the full UNet — at
+    # ref scale the duplicate trace was ~half the sampler's lowering time,
+    # the dominant warm-start term (BASELINE r4 breakdown; VERDICT r4 #3).
+    # XLA inlines the inner pjit, so the compiled graph is unchanged.
+    denoise_fn = jax.jit(denoise_fn)
 
     key, nk = jax.random.split(key)
     # init_noise: caller-supplied x_T noise (determinism / cross-impl

@@ -198,10 +198,6 @@ class ModelServer:
 
 def start_model_server(state) -> None:
     """Entry point for multiprocessing.Process."""
-    # single-chip inference process: the Pallas grouped-conv lowering is
-    # a measured ~17% sampler win at ref scale (BASELINE r4); users
-    # sharding across chips run sample.py --tp, not this server
-    os.environ.setdefault("DD_GROUPED_PALLAS_CONV", "1")
     platform = os.environ.get("DD_MODEL_SERVER_PLATFORM")
     if platform:
         # force a backend (tests run the server on CPU); config-level
@@ -212,6 +208,14 @@ def start_model_server(state) -> None:
             jax.config.update("jax_platforms", platform)
         except Exception:
             pass
+    # single-chip inference process: the Pallas grouped-conv lowering is
+    # a measured ~17% sampler win at ref scale (BASELINE r4); users
+    # sharding across chips run sample.py --tp, not this server. TPU
+    # only: on other backends the kernel falls back to interpret mode,
+    # which is pathologically slow at real sizes (ADVICE r4 low).
+    import jax
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault("DD_GROUPED_PALLAS_CONV", "1")
     ModelServer(state).run()
 
 

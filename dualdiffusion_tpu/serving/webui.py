@@ -47,7 +47,7 @@ progress{width:100%}
 steps <input id="steps" type="number" value="100" style="width:5em">
 cfg <input id="cfg" type="number" value="1.5" step="0.1" style="width:5em">
 seed <input id="seed" type="number" value="" placeholder="random" style="width:8em">
-fgla iters <input id="fgla" type="number" value="200" style="width:5em">
+fgla iters <input id="fgla" type="number" value="100" style="width:5em">
 <label><input id="heun" type="checkbox" checked> heun</label>
 <label><input id="loop" type="checkbox"> seamless loop</label>
 </fieldset>
@@ -67,13 +67,18 @@ fgla iters <input id="fgla" type="number" value="200" style="width:5em">
 <div id="outputs"></div>
 <fieldset><legend>Debug log</legend><div id="log"></div></fieldset>
 <script>
+// escape server/user-provided strings before interpolating into innerHTML
+// (inventory names, labels, presets — ADVICE r4 low: mild stored XSS)
+function esc(s){ const d=document.createElement('span');
+  d.textContent=String(s); return d.innerHTML; }
 let labels = {};
 function renderLabels(){
   const d = document.getElementById('labels'); d.innerHTML='';
   for (const [k,v] of Object.entries(labels)){
-    d.innerHTML += `<span class="lbl">${k}: <input type="number" value="${v}" step="0.1"
-      style="width:4.5em" onchange="labels['${k}']=parseFloat(this.value)">
-      <button class="warn" onclick="delete labels['${k}'];renderLabels()">x</button></span>`;
+    const ke = esc(k), kj = esc(JSON.stringify(k));
+    d.innerHTML += `<span class="lbl">${ke}: <input type="number" value="${Number(v)||0}" step="0.1"
+      style="width:4.5em" onchange="labels[${kj}]=parseFloat(this.value)">
+      <button class="warn" onclick="delete labels[${kj}];renderLabels()">x</button></span>`;
   }
 }
 function addLabel(){
@@ -232,15 +237,15 @@ async function refreshInventory(){
   const t = document.getElementById('explorer');
   while (t.rows.length > 1) t.deleteRow(1);
   for (const [m, v] of Object.entries(r)){
-    const opt=(val,cur)=>`<option${val===cur?' selected':''}>${val}</option>`;
+    const opt=(val,cur)=>`<option${val===cur?' selected':''}>${esc(val)}</option>`;
     const cks=['root','latest'].concat(v.checkpoints||[])
       .map(c=>opt(c, v.loaded_checkpoint)).join('');
     const emas=['none'].concat(v.emas||[])
       .map(e=>opt(e, v.loaded_ema)).join('');
-    t.insertRow().innerHTML = `<td>${m} <span style="color:#789">(${v.type||''})</span></td>
+    t.insertRow().innerHTML = `<td>${esc(m)} <span style="color:#789">(${esc(v.type||'')})</span></td>
       <td>${fmtParams(v.params||0)}</td>
-      <td><select id="ck_${m}">${cks}</select></td>
-      <td><select id="ema_${m}">${emas}</select></td>`;
+      <td><select id="ck_${esc(m)}">${cks}</select></td>
+      <td><select id="ema_${esc(m)}">${emas}</select></td>`;
   }
 }
 async function reloadModel(){
@@ -260,7 +265,7 @@ async function reloadModel(){
 async function refreshPresets(){
   const ps = await (await fetch('/api/presets')).json();
   const s = document.getElementById('presets'); s.innerHTML='';
-  ps.forEach(p=>{ s.innerHTML += `<option>${p}</option>`; });
+  ps.forEach(p=>{ s.innerHTML += `<option>${esc(p)}</option>`; });
 }
 async function loadPreset(){
   const name = document.getElementById('presets').value;

@@ -41,7 +41,11 @@ def main():
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--length", type=int, default=None)
-    ap.add_argument("--num_fgla_iters", type=int, default=200)
+    # production default: spsi@100 beats flat@200 on mel-inverted
+    # magnitudes at the same wall clock (BASELINE.md r4; VERDICT r4 #6)
+    ap.add_argument("--num_fgla_iters", type=int, default=100)
+    ap.add_argument("--fgla_phase_init", default="spsi",
+                    choices=["spsi", "flat"])
     ap.add_argument("--seamless_loop", action="store_true")
     ap.add_argument("--use_heun", action="store_true", default=True)
     ap.add_argument("--decode_mode", default="auto",
@@ -86,6 +90,7 @@ def main():
                           length=args.length, use_heun=args.use_heun,
                           seamless_loop=args.seamless_loop,
                           num_fgla_iters=args.num_fgla_iters,
+                          fgla_phase_init=args.fgla_phase_init,
                           img2img_strength=args.img2img_strength,
                           prompt=parse_prompt(args.prompt))
     emb = pipeline.get_prompt_embedding(params.prompt)

@@ -79,20 +79,24 @@ def main():
     sigma = jnp.full((2,), 3.0)
     n_scan = args.scan
 
-    def make_fn():
+    def make_fn(folded: bool = False):
+        from dualdiffusion_tpu.models.layers import fold_ctx
+
         def scan_fwd(uv, x, s):
             def body(carry, _):
-                out = unet.apply(uv, carry, s, emb2)
+                with fold_ctx("all" if folded else None):
+                    out = unet.apply(uv, carry, s, emb2)
                 return out.astype(carry.dtype), ()
             y, _ = jax.lax.scan(body, x, None, length=n_scan)
             return y
         return jax.jit(scan_fwd)
 
-    def cast_tree(tree, dtype):
-        return jax.tree_util.tree_map(
-            lambda v: v.astype(dtype)
-            if isinstance(v, jnp.ndarray) and v.dtype == jnp.float32
-            and v.ndim >= 2 else v, tree)
+    def fold_tree(tree):
+        # true pre-folded bf16 weights (fan-in scale applied once) — a raw
+        # bf16 cast would diverge (~sqrt(fan_in) growth per layer) now
+        # that MPConv no longer infers "folded" from dtype (ADVICE r4)
+        from dualdiffusion_tpu.models.layers import fold_inference_params
+        return fold_inference_params(tree)
 
     import os
     variants = {}
@@ -101,33 +105,36 @@ def main():
         # base,gpallas16,base#2)
         name = raw_name.split("#")[0]
         if name == "base":
-            variants[raw_name] = (uvars, {})
+            variants[raw_name] = (uvars, {}, False)
         elif name == "bf16":
-            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16), {})
+            variants[raw_name] = (fold_tree(uvars), {}, True)
         elif name == "gpacked":
-            variants[raw_name] = (uvars, {"DD_GROUPED_PACKED_CONV": "1"})
+            variants[raw_name] = (uvars, {"DD_GROUPED_PACKED_CONV": "1"},
+                                  False)
         elif name == "gpacked16":
-            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16),
-                              {"DD_GROUPED_PACKED_CONV": "1"})
+            variants[raw_name] = (fold_tree(uvars),
+                                  {"DD_GROUPED_PACKED_CONV": "1"}, True)
         elif name == "gfused":
-            variants[raw_name] = (uvars, {"DD_GROUPED_PACKED_CONV": "2"})
+            variants[raw_name] = (uvars, {"DD_GROUPED_PACKED_CONV": "2"},
+                                  False)
         elif name == "gfused16":
-            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16),
-                              {"DD_GROUPED_PACKED_CONV": "2"})
+            variants[raw_name] = (fold_tree(uvars),
+                                  {"DD_GROUPED_PACKED_CONV": "2"}, True)
         elif name == "gpallas":
-            variants[raw_name] = (uvars, {"DD_GROUPED_PALLAS_CONV": "1"})
+            variants[raw_name] = (uvars, {"DD_GROUPED_PALLAS_CONV": "1"},
+                                  False)
         elif name == "gpallas16":
-            variants[raw_name] = (cast_tree(uvars, jnp.bfloat16),
-                              {"DD_GROUPED_PALLAS_CONV": "1"})
+            variants[raw_name] = (fold_tree(uvars),
+                                  {"DD_GROUPED_PALLAS_CONV": "1"}, True)
         else:
             raise SystemExit(f"unknown variant {name}")
 
     results = {}
-    for name, (uv, env) in variants.items():
+    for name, (uv, env, folded) in variants.items():
         old = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
-            fn = make_fn()
+            fn = make_fn(folded)
             t0 = time.time()
             out = np.asarray(fn(uv, x0, sigma))  # traces with env applied
         finally:

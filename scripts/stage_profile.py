@@ -202,16 +202,17 @@ def main():
     # matches bench's DD_FOLD_PARAMS opt-in (1=all, 2=linear-only; off by
     # default: full fold measured slower with the Pallas conv routing,
     # BASELINE r4)
-    from dualdiffusion_tpu.models.layers import fold_inference_params
-    fold_mode = os.environ.get("DD_FOLD_PARAMS", "0")
-    use_fold, lin_only = fold_mode in ("1", "2"), fold_mode == "2"
+    from dualdiffusion_tpu.models.layers import (fold_ctx, fold_env_mode,
+                                                 fold_inference_params)
+    fmode = fold_env_mode()
 
     if args.stage == "sampler":
         def run(k, uv):
-            if use_fold:
-                uv = fold_inference_params(uv, linear_only=lin_only)
+            if fmode:
+                uv = fold_inference_params(uv, linear_only=fmode == "linear")
             def denoise(x, sigma):
-                return unet.apply(uv, x, sigma, emb2)
+                with fold_ctx(fmode):
+                    return unet.apply(uv, x, sigma, emb2)
             latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
                                     200.0, 0.03, 1.0, k, return_debug=False)
             return latents
@@ -221,9 +222,10 @@ def main():
         lat = jax.random.normal(key, (1, lat_h, lat_w, lat_c))
 
         def run(latents, dv):
-            if use_fold:
-                dv = fold_inference_params(dv, linear_only=lin_only)
-            return dae.apply(dv, latents, method=DAE.decode)
+            if fmode:
+                dv = fold_inference_params(dv, linear_only=fmode == "linear")
+            with fold_ctx(fmode):
+                return dae.apply(dv, latents, method=DAE.decode)
         fn = jax.jit(run)
         fargs = (lat, dvars)
     elif args.stage == "fgla":
