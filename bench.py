@@ -108,19 +108,41 @@ def build_configs(name: str, args):
     return mel_h, mel_w, ds, dae_cfg, unet_cfg, fmt_cfg
 
 
-def _timed_call(fn, *fn_args, n: int = 1):
+def _timed_call(fn, *fn_args, n: int = 0, target_s: float = 2.0,
+                n_max: int = 64):
     """Steady-state seconds: one synced warm-up, then n async-dispatched
     calls with a SINGLE host sync on the last output. Per-call np.asarray
     syncs cost 100s of ms each over the tunneled TPU runtime and inflated
     every sub-second stage in BENCH_r03 (the phantom "W-pack win" —
     validated against lax.scan-chained device-side timing in
-    scripts/ddec_probe.py --scan / scripts/dae_probe.py)."""
-    out = np.asarray(fn(*fn_args))
-    t0 = time.time()
-    for _ in range(n - 1):
-        fn(*fn_args)  # async dispatch; device executes sequentially
-    out = np.asarray(fn(*fn_args))
-    return out, (time.time() - t0) / n
+    scripts/ddec_probe.py --scan / scripts/dae_probe.py).
+
+    n <= 0 picks the rep count adaptively so the stage accumulates at
+    least ``target_s`` of device time (VERDICT r4 #4: sub-second stages
+    timed with too few reps showed +/-30% run noise — the identical DAE
+    decode workload read 0.2225 s vs 0.1705 s across the two scales in
+    BENCH_r04). Returns (out, seconds_per_call, n)."""
+
+    def batch(k):
+        t0 = time.time()
+        for _ in range(k - 1):
+            fn(*fn_args)  # async dispatch; device executes sequentially
+        out = np.asarray(fn(*fn_args))
+        return out, (time.time() - t0) / k
+
+    out = np.asarray(fn(*fn_args))  # warm (compile/cache effects)
+    if n > 0:
+        out, dt = batch(n)
+        return out, dt, n
+    # probe with a small one-sync batch (a single synced call over-reads
+    # sub-second stages by the tunnel sync latency), then size the real
+    # batch to accumulate >= target_s of device time
+    out, dt0 = batch(4)
+    n = int(max(2, min(n_max, np.ceil(target_s / max(dt0, 1e-3)))))
+    if n <= 4:
+        return out, dt0, 4
+    out, dt = batch(n)
+    return out, dt, n
 
 
 def _aot(jfn, *example_args):
@@ -176,14 +198,18 @@ def make_ddec_stage(args, mel_h: int, mel_w: int, key):
                          use_heun=True, schedule="linear",
                          input_perturbation=0.0)
 
+    from dualdiffusion_tpu.models.layers import (fold_ctx, fold_env_mode,
+                                                 fold_inference_params)
+
     def ddec_decode(mel, k, ddv):
-        if os.environ.get("DD_FOLD_PARAMS", "0") == "1":
-            from dualdiffusion_tpu.models.layers import fold_inference_params
-            ddv = fold_inference_params(ddv)  # once, outside the Heun scan
+        fmode = fold_env_mode()
+        if fmode:
+            ddv = fold_inference_params(ddv, linear_only=fmode == "linear")
         lin = mfmt.mel_spec_to_linear(mel.astype(jnp.float32))
 
         def dd_denoise(x, sigma):
-            return ddec.apply(ddv, x, sigma, None, lin)
+            with fold_ctx(fmode):
+                return ddec.apply(ddv, x, sigma, None, lin)
 
         coeffs, _ = edm_sample(dd_denoise, mdct_shape, dd_sp,
                                11.0, 0.0002, 1.0, k,
@@ -253,24 +279,26 @@ def prepare_config(name: str, args, want_ddec: bool):
     # DD_FOLD_PARAMS=2 folds only the 2-D linear weights (emb-modulation
     # matrices) — conv weights stay f32 so the Pallas wt prep keeps its
     # convert fusion
-    from dualdiffusion_tpu.models.layers import fold_inference_params
-    fold_mode = os.environ.get("DD_FOLD_PARAMS", "0")
-    use_fold, lin_only = fold_mode in ("1", "2"), fold_mode == "2"
+    from dualdiffusion_tpu.models.layers import (fold_ctx, fold_env_mode,
+                                                 fold_inference_params)
+    fmode = fold_env_mode()
 
     def sample_latents(k, uv):
-        if use_fold:
+        if fmode:
             # once, outside the 100-step scan
-            uv = fold_inference_params(uv, linear_only=lin_only)
+            uv = fold_inference_params(uv, linear_only=fmode == "linear")
         def denoise(x, sigma):
-            return unet.apply(uv, x, sigma, emb2)
+            with fold_ctx(fmode):
+                return unet.apply(uv, x, sigma, emb2)
         latents, _ = edm_sample(denoise, (1, lat_h, lat_w, lat_c), sp,
                                 200.0, 0.03, 1.0, k, return_debug=False)
         return latents
 
     def dae_decode(latents, dv):
-        if use_fold:
-            dv = fold_inference_params(dv, linear_only=lin_only)
-        return dae.apply(dv, latents, method=DAE.decode)
+        if fmode:
+            dv = fold_inference_params(dv, linear_only=fmode == "linear")
+        with fold_ctx(fmode):
+            return dae.apply(dv, latents, method=DAE.decode)
 
     def fgla_decode(mel, k):
         return fmt.sample_to_raw(mel.astype(jnp.float32), key=k)
@@ -409,7 +437,7 @@ def run_config(prep, args, ddec_stage=None):
                 "ddec_stage": ddec_stage}
 
     stages = {}
-    _, t_samp = _timed_call(samp_c, key, uvars, n=2)
+    _, t_samp, n_samp = _timed_call(samp_c, key, uvars, n=2)
     # XLA's cost model counts a lax.scan body ONCE — scale by the trip
     # count (the Heun pair lives inside one body). flops scale exactly;
     # bytes are per-fusion operand counts and over-estimate reuse, so the
@@ -417,19 +445,22 @@ def run_config(prep, args, ddec_stage=None):
     samp_cost = {k: v * args.steps for k, v in samp_cost.items()}
     stages["sampler"] = stage_stats(t_samp, peaks=peaks, **samp_cost)
     stages["sampler"]["cost_model"] = f"xla_body_x{args.steps}_steps"
-    _, t_dae = _timed_call(dae_c, lat0, dvars, n=10)
+    stages["sampler"]["reps"] = n_samp
+    _, t_dae, n_dae = _timed_call(dae_c, lat0, dvars)
     stages["dae_decode"] = stage_stats(t_dae, peaks=peaks, **dae_cost)
+    stages["dae_decode"]["reps"] = n_dae
     # FGLA is Pallas — XLA's cost model can't see into the kernels; use
     # the documented analytic formulas (utils/perf.py:fgla_analytic_cost)
     n_frames = mel_w  # critically-sampled: one frame per mel column
     fgla_cost = fgla_analytic_cost(
         n_frames, fmt_cfg.padded_length, args.fgla,
         work_bytes=2 if fmt_cfg.fgla_work_dtype == "bfloat16" else 4)
-    raw0, t_fgla = _timed_call(fgla_c, mel0, key, n=4)
+    raw0, t_fgla, n_fgla = _timed_call(fgla_c, mel0, key)
     stages["fgla_decode"] = stage_stats(
         t_fgla, flops=fgla_cost["flops"], bytes_accessed=fgla_cost["bytes"],
         peaks=peaks)
     stages["fgla_decode"]["cost_model"] = "analytic"
+    stages["fgla_decode"]["reps"] = n_fgla
 
     t0 = time.time()
     out = np.asarray(e2e_fgla(jax.random.PRNGKey(2)))
@@ -453,15 +484,16 @@ def run_config(prep, args, ddec_stage=None):
             # inside _timed_call is the priming run — count it (and only
             # it) toward the first-call window.
             t0p = time.time()
-            raw_dd, t_dd = _timed_call(ddec_stage["compiled"], mel0, key,
-                                       ddec_stage["vars"])
-            result["first_call_seconds"] += time.time() - t0p - t_dd
+            raw_dd, t_dd, n_dd = _timed_call(
+                ddec_stage["compiled"], mel0, key, ddec_stage["vars"], n=2)
+            result["first_call_seconds"] += time.time() - t0p - t_dd * n_dd
             assert np.isfinite(raw_dd).all(), "non-finite ddec output"
             dd_cost = {k: v * args.ddec_steps
                        for k, v in ddec_stage["cost"].items()}
             ddec_stage["stats"] = stage_stats(t_dd, peaks=peaks, **dd_cost)
             ddec_stage["stats"]["cost_model"] = \
                 f"xla_body_x{args.ddec_steps}_steps"
+            ddec_stage["stats"]["reps"] = n_dd
         stages["ddec_decode"] = ddec_stage["stats"]
 
         dd_c, ddv = ddec_stage["compiled"], ddec_stage["vars"]
@@ -509,6 +541,12 @@ def main():
                          "start (first_call_warm_seconds)")
     ap.add_argument("--no-warm-probe", action="store_true",
                     help="skip the warm-start subprocess measurement")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the ref-scale training-step measurement")
+    ap.add_argument("--train-batch", type=int, default=4,
+                    help="device batch for the train-step block (the "
+                         "round-2 reference point is batch 4 on a 16 GB "
+                         "chip)")
     args = ap.parse_args()
     # Pallas implicit-GEMM grouped convs for the (single-chip, inference)
     # bench workload: bench-level sandwich A/B measured the ref-scale
@@ -610,27 +648,65 @@ def main():
                 results["ref_scale"]["ddec_e2e_seconds"], 3)
     # first_call_seconds: per-scale windows (prepare + priming) summed —
     # an upper bound when scales overlap; the per-scale breakdown and the
-    # concurrent compile times are in first_call_breakdown
+    # concurrent compile times are in the detail file
     line["first_call_seconds"] = round(
         sum(r["first_call_seconds"] for r in results.values()), 1)
-    line["first_call_breakdown"] = {
+    detail = {"first_call_breakdown": {
         n: {"compile_secs": r["compile_secs"],
             "prime_seconds": r["prime_seconds"],
             "first_call_seconds": round(r["first_call_seconds"], 1)}
-        for n, r in results.items()}
+        for n, r in results.items()}}
+
+    # export the flagship stage blobs (AOT StableHLO) when opted in; done
+    # OUTSIDE every timed window (re-traces the sampler once). Off by
+    # default: the deserialized modules recompile uncached (slower than
+    # tracing) on this runtime — BASELINE r4
+    if ("flagship" in results and os.environ.get("DD_AOT", "0") == "1"
+            and not args.no_warm_probe):
+        _export_aot(preps["flagship"].result())
+
+    # release the inference buffers (param trees, primed intermediates)
+    # BEFORE the ref-scale train-step measurement: its train state
+    # (356M fp32 params + AdamW moments + dual EMA) needs ~6 GB of HBM
+    del preps
+    for r in results.values():
+        r.pop("ddec_stage", None)
+    import gc
+    gc.collect()
+
+    if not (args.no_train or args.small):
+        line["train_step"] = _train_probe(args)
+
     if not (args.no_warm_probe or args.small):
-        # export the flagship stage blobs (AOT StableHLO) when opted in;
-        # done OUTSIDE every timed window (re-traces the sampler once).
-        # Off by default: the deserialized modules recompile uncached
-        # (slower than tracing) on this runtime — BASELINE r4
-        if "flagship" in results and os.environ.get("DD_AOT", "0") == "1":
-            _export_aot(preps["flagship"].result())
         line["first_call_warm_seconds"] = _warm_probe(args)
     peaks = device_peaks()
     if peaks:
         line["device"] = peaks
-    line["stages"] = {n: results[n]["stages"] for n in names}
-    print(json.dumps(line))
+
+    # full per-stage records (bytes/hbm/cost-model notes) go to the detail
+    # file + stderr; the stdout line keeps a compact [seconds, mfu_pct]
+    # per stage so it stays parseable in a 2000-char log tail
+    # (BENCH_r04.json "parsed": null — the r4 line outgrew the tail)
+    detail["stages"] = {n: results[n]["stages"] for n in names}
+    detail.update({k: v for k, v in line.items()})
+    if not args.small:  # --small is a smoke config, not a measurement
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    log("detail: " + json.dumps(detail))
+    line["stages"] = {
+        n: {s: [round(st.get("seconds", 0.0), 3), st.get("mfu_pct")]
+            for s, st in results[n]["stages"].items()}
+        for n in names}
+    line["stages_format"] = "[seconds, mfu_pct]; full: BENCH_detail.json"
+    out_line = json.dumps(line)
+    if len(out_line) > 1900:  # keep the driver's 2000-char tail parseable
+        for k in ("stages_format", "stages", "device"):
+            line.pop(k, None)
+            out_line = json.dumps(line)
+            if len(out_line) <= 1900:
+                break
+    print(out_line)
 
 
 def _export_aot(prep):
@@ -650,6 +726,36 @@ def _export_aot(prep):
             log(f"[aot] exported {stage} in {time.time() - t0:.1f}s")
         except Exception as e:
             log(f"[aot] export of {stage} failed: {type(e).__name__}: {e}")
+
+
+def _train_probe(args):
+    """Measure the REF-SCALE UNet training step (stratified sigma, EDM2
+    NLL with the learned per-sigma logvar, AdamW + forced MP weight renorm
+    + dual-EMA bank — the hot loop the reference spends its GPU-years in,
+    /root/reference/src/training/module_trainers/unet_trainer.py:202-296)
+    in a fresh subprocess with the same FLOP/MFU accounting as the
+    inference stages (VERDICT r4 #1). Subprocess: the train state (356M
+    fp32 params + AdamW moments + EMAs ~6 GB) must not coexist with this
+    process's inference buffers on a 16 GB chip. Returns a compact dict
+    or None on failure."""
+    import subprocess
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_train.py"),
+           "--ref-scale", "--batch", str(args.train_batch), "--iters", "10"]
+    log(f"[train-probe] {' '.join(cmd)}")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=1800, check=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        log(f"[train-probe] {json.dumps(r)}")
+        return {"samples_per_s": r["value"], "batch": r["batch"],
+                "step_ms": r["step_ms"], "mfu_pct": r.get("mfu_pct"),
+                "conv_lowering": r.get("conv_lowering")}
+    except Exception as e:  # pragma: no cover - diagnostics only
+        err = getattr(e, "stderr", "") or ""
+        log(f"[train-probe] failed: {e}\n{err[-2000:]}")
+        return None
 
 
 def _warm_probe(args):

@@ -22,10 +22,20 @@ def main():
                          "overhead vs the in-graph-only bank)")
     args = ap.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
     from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
     enable_compilation_cache()
+    # measured ref-scale A/B (r5, one-sync, 10 iters): the Pallas
+    # implicit-GEMM conv with its native custom VJP runs the train step at
+    # 255.2 ms vs 359.1 ms for the per-tap lowering (batch 4, remat;
+    # 14.3% vs 10.3% MFU) -> default ON for the training bench on TPU
+    # (interpret-mode fallback is pathological elsewhere, ADVICE r4)
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault("DD_GROUPED_PALLAS_CONV", "1")
+        os.environ.setdefault("DD_GROUPED_PALLAS_CONV_TRAIN", "1")
     from dualdiffusion_tpu.models.unet import UNet, UNetConfig
     from dualdiffusion_tpu.training import (EMABank, EMAConfig,
                                             SigmaSamplerConfig, UNetTrainConfig,
@@ -83,7 +93,6 @@ def main():
         bank = EMABank(list(bank.configs.values())
                        + [EMAConfig(name="host0.1", std=0.1,
                                     cpu_offload=True)])
-    import os
     donate = () if os.environ.get("DD_DONATE_STATE", "0") == "0" else (0,)
     if args.offload_ema:
         # the async host-EMA worker reads the previous step's params while
@@ -131,12 +140,20 @@ def main():
     dt = (time.time() - t0) / args.iters
     assert np.isfinite(loss)
     perf = stage_stats(dt, peaks=device_peaks(), **cost)
-    print(f"step={dt*1000:.1f}ms loss={loss:.4f} perf={perf}",
-          file=sys.stderr, flush=True)
+    if (os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
+            and os.environ.get("DD_GROUPED_PALLAS_CONV_TRAIN", "0") == "1"):
+        lowering = "pallas_custom_vjp"
+    elif os.environ.get("DD_GROUPED_CONV_NATIVE", "0") == "1":
+        lowering = "xla_native_grouped"
+    else:
+        lowering = "per_tap_matmul"
+    print(f"step={dt*1000:.1f}ms loss={loss:.4f} perf={perf} "
+          f"conv_lowering={lowering}", file=sys.stderr, flush=True)
     print(json.dumps({"metric": "unet_train_samples_per_sec",
                       "value": round(b / dt, 2), "unit": "samples/s",
                       "batch": b, "step_ms": round(dt * 1000, 1),
                       "num_live_emas": len(bank.configs),
+                      "conv_lowering": lowering,
                       "offload_ema": bool(host_ema is not None), **perf}))
 
 
