@@ -206,6 +206,8 @@ def make_ddec_stage(args, mel_h: int, mel_w: int, key):
         if fmode:
             ddv = fold_inference_params(ddv, linear_only=fmode == "linear")
         lin = mfmt.mel_spec_to_linear(mel.astype(jnp.float32))
+        # (no wker collect here: the DDEC's hot levels run W-packed convs,
+        # which the Pallas grouped-conv route doesn't take)
 
         def dd_denoise(x, sigma):
             with fold_ctx(fmode):
@@ -279,9 +281,24 @@ def prepare_config(name: str, args, want_ddec: bool):
     # DD_FOLD_PARAMS=2 folds only the 2-D linear weights (emb-modulation
     # matrices) — conv weights stay f32 so the Pallas wt prep keeps its
     # convert fusion
-    from dualdiffusion_tpu.models.layers import (fold_ctx, fold_env_mode,
+    from dualdiffusion_tpu.models.layers import (collect_wker, fold_ctx,
+                                                 fold_env_mode,
                                                  fold_inference_params)
     fmode = fold_env_mode()
+    # DD_WKER=1: one prep forward OUTSIDE the scan records every
+    # Pallas-routed conv weight in the kernel layout (bf16) so the scan
+    # body carries loop-invariant weight buffers (no per-step
+    # rearrange/convert). Composes with DD_PALLAS_PAIR=1 (kernel-layout
+    # threading across the MLP conv pair). VERDICT r4 #2.
+    use_wker = (os.environ.get("DD_WKER", "0") == "1"
+                and os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1")
+    if use_wker:
+        # one prep forward at REAL shapes (the per-level routing predicate
+        # depends on them), at prepare time — the stage fn then receives
+        # the augmented tree and its scan carries loop-invariant buffers
+        x2 = jnp.zeros((2, lat_h, lat_w, lat_c), jnp.float32)
+        uvars = jax.jit(lambda v: collect_wker(
+            unet.apply, v, x2, jnp.ones((2,), jnp.float32), emb2))(uvars)
 
     def sample_latents(k, uv):
         if fmode:

@@ -32,7 +32,14 @@ def main():
     # implicit-GEMM conv with its native custom VJP runs the train step at
     # 255.2 ms vs 359.1 ms for the per-tap lowering (batch 4, remat;
     # 14.3% vs 10.3% MFU) -> default ON for the training bench on TPU
-    # (interpret-mode fallback is pathological elsewhere, ADVICE r4)
+    # (interpret-mode fallback is pathological elsewhere, ADVICE r4).
+    # With the Pallas backward, dropping block remat fits batch 4 on a
+    # 16 GB chip and removes the recompute FLOPs: 197-225 ms/step across
+    # runs vs 255 ms rematerialized; donating the state trims another ~5%
+    # (213.7 ms = 18.7 samples/s; best observed 196.8 ms = 20.3) ->
+    # no-remat + donate are the bench defaults. Batch 8 no-remat OOMs
+    # undonated and measures SLOWER donated (404.9 ms = 19.8 samples/s,
+    # XLA spills); batch 8 WITH remat is 16.1 samples/s.
     if jax.default_backend() == "tpu":
         os.environ.setdefault("DD_GROUPED_PALLAS_CONV", "1")
         os.environ.setdefault("DD_GROUPED_PALLAS_CONV_TRAIN", "1")
@@ -51,7 +58,8 @@ def main():
                          channels_per_head=64, num_layers_per_block=2,
                          attn_levels=(3, 4), attn_axis="freq",
                          mlp_multiplier=2, mlp_groups=8, logvar_channels=128,
-                         remat_blocks=True)
+                         remat_blocks=os.environ.get(
+                             "DD_TRAIN_REMAT", "0") != "0")
     else:
         cfg = UNetConfig(in_channels=8, out_channels=8, in_channels_emb=1024,
                          model_channels=64, channel_mult=(1, 2, 3, 4),
@@ -93,7 +101,7 @@ def main():
         bank = EMABank(list(bank.configs.values())
                        + [EMAConfig(name="host0.1", std=0.1,
                                     cpu_offload=True)])
-    donate = () if os.environ.get("DD_DONATE_STATE", "0") == "0" else (0,)
+    donate = () if os.environ.get("DD_DONATE_STATE", "1") == "0" else (0,)
     if args.offload_ema:
         # the async host-EMA worker reads the previous step's params while
         # the next step runs; donating the state would invalidate them

@@ -474,7 +474,9 @@ class MPConv(nn.Module):
                 from ..ops.pallas.grouped_conv import (
                     grouped_conv2d_3x3_jit, grouped_conv2d_3x3_pre_jit,
                     supported)
-                if supported(x.shape, self.kernel, self.stride, self.groups):
+                if supported(x.shape, self.kernel, self.stride, self.groups,
+                             itemsize=x.dtype.itemsize,
+                             c_out=self.out_channels):
                     if training:
                         # differentiable entry (custom VJP wrt x AND w)
                         return grouped_conv2d_3x3_jit(x, w, self.groups)
@@ -492,6 +494,21 @@ class MPConv(nn.Module):
                 return self._grouped_conv(x, w, grouped_in=grouped_in,
                                           grouped_out=grouped_out)
         assert not (grouped_in or grouped_out), "requires groups > 1"
+        import os as _os
+        if (self.groups == 1 and nd == 2 and not training
+                and _os.environ.get("DD_PALLAS_DENSE", "0") == "1"
+                and _os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
+                and self.stride == 1 and self.w_pad_mode != "reflect"
+                and tuple(self.kernel) == (3, 3)):
+            # dense 3x3 convs through the same implicit-GEMM kernel
+            # (G=1): opt-in for A/B on the DDEC's unpacked levels
+            from ..ops.pallas.grouped_conv import (grouped_conv2d_3x3_pre_jit,
+                                                   supported)
+            if supported(x.shape, self.kernel, self.stride, 1,
+                         itemsize=x.dtype.itemsize,
+                         c_out=self.out_channels):
+                return grouped_conv2d_3x3_pre_jit(
+                    x, self._wker(w, x.dtype), 1, "nhwc", "nhwc", 0)
         if (self.stride == 1 and all(k == 1 for k in self.kernel)
                 and self.groups == 1 and self.w_pad_mode != "reflect"):
             # 1x1[x1] conv == matmul over the channel dim (skip projections,

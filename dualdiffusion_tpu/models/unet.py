@@ -220,7 +220,14 @@ class UNetBlock(nn.Module):
                        and (cfg.mlp_groups > 1 or pair_mode == "all"))
         if pallas_pair:
             from ..ops.pallas.grouped_conv import supported
-            pallas_pair = supported(x.shape, (3, 3), 1, cfg.mlp_groups)
+            # both convs of the pair must fit (res0 checked at c_mid out,
+            # res1 at c_mid in)
+            mid_shape = x.shape[:-1] + (c_mid,)
+            pallas_pair = (
+                supported(x.shape, (3, 3), 1, cfg.mlp_groups,
+                          itemsize=2, c_out=c_mid)
+                and supported(mid_shape, (3, 3), 1, cfg.mlp_groups,
+                              itemsize=2, c_out=self.out_channels))
         pair_w = x.shape[-2]
         y = MPConv(c_in_res0, c_mid, _conv_kernel(cfg, (3, 3)),
                    groups=cfg.mlp_groups, w_pad_mode=cfg.conv_w_pad,

@@ -293,8 +293,13 @@ grouped_conv2d_3x3_pre_jit = jax.jit(grouped_conv2d_3x3_pre,
 
 
 def supported(x_shape: Tuple[int, ...], kernel: Tuple[int, ...],
-              stride: int, groups: int, min_w: int = 64) -> bool:
-    """Routing predicate for MPConv: 4D NHWC, 3x3, stride 1, wide W."""
+              stride: int, groups: int, min_w: int = 64,
+              itemsize: int = 4, c_out: int = 0,
+              vmem_budget: int = 12 * 1024 * 1024) -> bool:
+    """Routing predicate for MPConv: 4D NHWC, 3x3, stride 1, wide W —
+    and the kernel's VMEM working set (slab + patch scratch + weights +
+    out block) must fit. The grouped UNet MLP shapes always fit; the
+    dense route (DD_PALLAS_DENSE) can see 5504-wide grids that don't."""
     if len(x_shape) != 4 or tuple(kernel) != (3, 3) or stride != 1:
         return False
     b, h, wdim, c = x_shape
@@ -302,4 +307,12 @@ def supported(x_shape: Tuple[int, ...], kernel: Tuple[int, ...],
         return False
     if c % groups:
         return False
-    return True
+    cig = c // groups
+    cog = (c_out // groups) if c_out else cig
+    th = _pick_th(h)
+    w_lanes = -(-(wdim + 2) // 128) * 128
+    vmem = ((th + 2) * cig * w_lanes          # slab
+            + 9 * cig * wdim                  # patch scratch
+            + 9 * cig * cog                   # weights
+            + th * cog * wdim) * itemsize     # out block
+    return vmem <= vmem_budget
