@@ -327,17 +327,36 @@ def prepare_config(name: str, args, want_ddec: bool):
     # after its measurements (main()), so the driver's warm probe measures
     # the blob path.
     from dualdiffusion_tpu.utils import aot as aot_mod
-    aot_keys = {
-        stage: aot_mod.stage_key(name, stage, unet_cfg, dae_cfg, fmt_cfg,
-                                 args.steps, args.fgla, args.fgla_init)
-        for stage in ("sampler", "dae", "fgla")}
+    graph_env = tuple(os.environ.get(v, "0") for v in
+                      ("DD_GROUPED_PALLAS_CONV", "DD_WKER", "DD_PALLAS_PAIR",
+                       "DD_PALLAS_DENSE", "DD_FOLD_PARAMS",
+                       "DD_FGLA_FUSE_ITER"))
+    key_parts = (name, unet_cfg, dae_cfg, fmt_cfg,
+                 args.steps, args.fgla, args.fgla_init, graph_env)
+    aot_keys = {stage: aot_mod.stage_key(stage, *key_parts)
+                for stage in ("sampler", "dae", "fgla")}
+    exec_keys = {stage: aot_mod.exec_key(stage, *key_parts)
+                 for stage in ("sampler", "dae", "fgla")}
     aot_calls = {}
-    # DD_AOT=1 opt-in ONLY: measured on v5e, the deserialized modules skip
-    # tracing (lower 0.2 s) but their XLA compiles MISS the persistent
-    # cache and recompile pathologically (~190-450 s prime vs 42.5 s for
-    # the plain trace+cached-compile path) — see BASELINE r4
+    # COMPILED-EXECUTABLE blobs (default ON, DD_EXEC_BLOB=0 disables): a
+    # prior full bench run pickled each stage's PjRt executable, so the
+    # warm restart skips Python tracing AND XLA compilation — the two
+    # dominant warm-start terms (BASELINE r4: tracing 20-69 s + cached
+    # compiles ~17 s of the 98.8-134.7 s window). VERDICT r4 #3.
+    if args.compile_only and os.environ.get("DD_EXEC_BLOB", "1") == "1":
+        for stage, k_ in exec_keys.items():
+            call = aot_mod.load_exec(f"bench_{stage}", k_)
+            if call is not None:
+                aot_calls[stage] = call
+    # DD_AOT=1 opt-in ONLY (jax.export StableHLO): measured on v5e, the
+    # deserialized modules skip tracing (lower 0.2 s) but their XLA
+    # compiles MISS the persistent cache and recompile pathologically
+    # (~190-450 s prime vs 42.5 s for the plain trace+cached-compile
+    # path) — see BASELINE r4
     if args.compile_only and os.environ.get("DD_AOT", "0") == "1":
         for stage, k_ in aot_keys.items():
+            if stage in aot_calls:
+                continue
             call = aot_mod.load_stage(f"bench_{stage}", k_)
             if call is not None:
                 aot_calls[stage] = call
@@ -405,7 +424,7 @@ def prepare_config(name: str, args, want_ddec: bool):
         "stage_fns": {"sampler": (sample_latents, (key, uvars)),
                       "dae": (dae_decode, (lat_sds, dvars)),
                       "fgla": (fgla_decode, (mel_sds, key))},
-        "aot_keys": aot_keys,
+        "aot_keys": aot_keys, "exec_keys": exec_keys,
     }
 
 
@@ -674,6 +693,12 @@ def main():
             "first_call_seconds": round(r["first_call_seconds"], 1)}
         for n, r in results.items()}}
 
+    # export the flagship COMPILED-EXECUTABLE blobs (default ON) so the
+    # warm probe below — and any serving restart — skips tracing and
+    # compilation; serializing the already-compiled stages costs seconds
+    # and no retrace. VERDICT r4 #3.
+    if "flagship" in results and os.environ.get("DD_EXEC_BLOB", "1") == "1":
+        _export_exec(preps["flagship"].result())
     # export the flagship stage blobs (AOT StableHLO) when opted in; done
     # OUTSIDE every timed window (re-traces the sampler once). Off by
     # default: the deserialized modules recompile uncached (slower than
@@ -724,6 +749,21 @@ def main():
             if len(out_line) <= 1900:
                 break
     print(out_line)
+
+
+def _export_exec(prep):
+    """Pickle the already-compiled flagship stage executables
+    (jax.experimental.serialize_executable) so --compile-only restarts —
+    the serving proxy the driver measures — skip tracing AND compilation.
+    Non-fatal on failure; blobs are device/version-keyed (utils/aot.py)."""
+    from dualdiffusion_tpu.utils import aot as aot_mod
+    for stage, comp in (("sampler", prep["samp_c"]), ("dae", prep["dae_c"]),
+                        ("fgla", prep["fgla_c"])):
+        if not hasattr(comp, "cost_analysis"):
+            continue  # a loaded blob, not a fresh Compiled
+        t0 = time.time()
+        aot_mod.save_exec(f"bench_{stage}", prep["exec_keys"][stage], comp)
+        log(f"[exec-blob] {stage} exported in {time.time() - t0:.1f}s")
 
 
 def _export_aot(prep):

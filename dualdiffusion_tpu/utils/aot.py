@@ -102,3 +102,78 @@ def get_or_build(name: str, key: str, build_jit_fn: Callable[[], Any],
     if call is not None:
         return call
     return save_stage(name, key, build_jit_fn(), *example_args)
+
+
+# ---------------------------------------------------------------------------
+# Compiled-executable blobs (jax.experimental.serialize_executable)
+#
+# The jax.export path above serializes the TRACED module and still pays an
+# XLA compile on load (which missed the persistent cache on this runtime —
+# BASELINE r4). These blobs instead pickle the COMPILED PjRt executable:
+# loading skips Python tracing AND XLA compilation entirely, so a serving
+# restart pays imports + unpickle + priming. Probed working on the
+# tunneled v5e runtime (round 5). Executable blobs are device- and
+# version-specific — exec_key() folds in the device kind/count and jax
+# version, and any deserialization failure falls back to the trace path.
+# ---------------------------------------------------------------------------
+
+def exec_key(*parts: Any) -> str:
+    """stage_key plus the executable-compatibility terms (device kind,
+    device count, jax version — already in stage_key)."""
+    import jax
+    d = jax.devices()
+    return stage_key(*parts, d[0].device_kind, len(d))
+
+
+def _exec_path(name: str, key: str) -> Optional[Path]:
+    d = aot_dir()
+    return None if d is None else d / f"{name}-{key}.jxec"
+
+
+def load_exec(name: str, key: str) -> Optional[Callable]:
+    """Deserialize a compiled-executable blob -> callable, or None."""
+    path = _exec_path(name, key)
+    if path is None or not path.is_file():
+        return None
+    try:
+        import pickle
+
+        import jax
+        from jax.experimental import serialize_executable as sx
+        blob, in_tree, out_tree, n_dev = pickle.loads(path.read_bytes())
+        # pin execution to the executable's device count — the default is
+        # ALL local devices, which breaks under a virtual multi-device
+        # backend when the stage was compiled single-device
+        call = sx.deserialize_and_load(
+            blob, in_tree, out_tree,
+            execution_devices=jax.devices()[:n_dev])
+        logger.info("exec blob '%s' loaded from %s", name, path)
+        return call
+    except Exception as e:  # device/version skew, corrupt blob
+        logger.warning("exec blob '%s' unusable (%s); re-tracing", name, e)
+        try:
+            path.unlink()
+        except OSError:
+            pass
+        return None
+
+
+def save_exec(name: str, key: str, compiled) -> None:
+    """Serialize an already-compiled stage (jit(...).lower().compile())."""
+    path = _exec_path(name, key)
+    if path is None:
+        return
+    try:
+        import pickle
+        from jax.experimental import serialize_executable as sx
+        blob, in_tree, out_tree = sx.serialize(compiled)
+        n_dev = len(compiled.input_shardings[0][0].device_set) \
+            if compiled.input_shardings[0] else 1
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_bytes(pickle.dumps((blob, in_tree, out_tree, n_dev)))
+        tmp.replace(path)
+        logger.info("exec blob '%s' saved to %s (%d bytes)", name, path,
+                    len(blob))
+    except Exception as e:  # non-fatal: restart falls back to tracing
+        logger.warning("exec save of '%s' failed: %s", name, e)

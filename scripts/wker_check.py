@@ -33,8 +33,8 @@ def main():
     emb = jax.random.normal(jax.random.PRNGKey(2), (2, 1024))
     variables = jax.jit(lambda k: model.init(
         k, x[:1], sigma[:1], emb[:1], method=UNet.init_all))(key)
-    emb_c = model.apply(variables, emb, jnp.ones((2,)),
-                        method=UNet.get_embeddings)
+    emb_c = jax.jit(lambda v, e: model.apply(
+        v, e, jnp.ones((2,)), method=UNet.get_embeddings))(variables, emb)
 
     base = jax.jit(lambda v: model.apply(v, x, sigma, emb_c))(variables)
     for pair in ("0", "1"):
