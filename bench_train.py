@@ -20,6 +20,11 @@ def main():
                     help="add one cpu_offload EMA profile driven by the "
                          "AsyncHostEMA worker (measures the offload "
                          "overhead vs the in-graph-only bank)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of one "
+                         "steady-state step into DIR and print the per-op "
+                         "self-time table (the ground truth behind the "
+                         "cost-model MFU/roofline claims)")
     args = ap.parse_args()
 
     import os
@@ -147,6 +152,21 @@ def main():
     loss = float(logs["loss"])         # sync: loss depends on the last step
     dt = (time.time() - t0) / args.iters
     assert np.isfinite(loss)
+    if args.trace:
+        os.makedirs(args.trace, exist_ok=True)
+        with jax.profiler.trace(args.trace):
+            state, tlogs = step(state, batch)
+            _ = float(tlogs["loss"])      # device->host sync in-window
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from stage_profile import aggregate_xplane_events
+        total_ps, rows, _span = aggregate_xplane_events(args.trace, 20)
+        print(f"[trace] device op self-time total "
+              f"{total_ps / 1e12:.3f}s for one {dt*1000:.1f}ms step:",
+              file=sys.stderr, flush=True)
+        for nm, ps in rows:
+            print(f"[trace] {nm[:80]:<80} {ps/1e9:>9.3f} ms "
+                  f"{100.0*ps/total_ps:>5.1f}%", file=sys.stderr, flush=True)
     perf = stage_stats(dt, peaks=device_peaks(), **cost)
     if (os.environ.get("DD_GROUPED_PALLAS_CONV", "0") == "1"
             and os.environ.get("DD_GROUPED_PALLAS_CONV_TRAIN", "0") == "1"):

@@ -117,6 +117,68 @@ def _pallas_grouped_conv(xt: jnp.ndarray, wt: jnp.ndarray, th: int,
     )(xt_flat, wt)
 
 
+def _kernel_v2(xt_ref, wt_ref, out_ref, *, cig: int, cog: int, w_out: int):
+    """Copy-free row kernel: one MXU dot + two shifted adds per output row.
+
+    v1 builds a (9*cig, W) patch per row with 9 VMEM copies (6 of them at
+    unaligned lane offsets dx=1,2) — the r5 per-op profile shows the
+    sampler's Pallas conv running ~10x over its FLOP roofline, i.e. the
+    kernel is VPU-copy/overhead bound, not MXU bound. v2 removes the
+    patch entirely: three slab rows h..h+2 viewed as ONE (3*cig, Wl)
+    operand (sublane-contiguous, no data movement) feed a single
+    (3*cig, 3*cog) x (3*cig, Wl) dot — the 3 dx taps live in the
+    WEIGHTS' N dim — and the dx alignment is paid once per row as two
+    lane-shifted f32 adds on the (cog, W) partials. The whole (H+2)
+    slab arrives as an auto-pipelined BlockSpec block (Pallas
+    double-buffers the next (g, b) program's slab during compute), so
+    there is no manual DMA and no semaphore."""
+    h_tot = out_ref.shape[2]
+    wv = wt_ref[0]                                   # (3*cig, 3*cog)
+    for h in range(h_tot):
+        a = xt_ref[0, h:h + 3].reshape(3 * cig, -1)  # (3*cig, Wl)
+        p = jax.lax.dot_general(
+            wv, a, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (3*cog, Wl)
+        acc = (p[0:cog, 0:w_out] + p[cog:2 * cog, 1:w_out + 1]
+               + p[2 * cog:3 * cog, 2:w_out + 2])
+        out_ref[0, 0, h] = acc.astype(out_ref.dtype)
+
+
+def _pallas_grouped_conv_v2(xt: jnp.ndarray, wv: jnp.ndarray,
+                            w_out: int, out_dtype) -> jnp.ndarray:
+    """xt (G, B, H+2, cig, Wlanes), wv (G, 3*cig, 3*cog) ->
+    (G, B, H, cog, W). Whole-slab-per-program variant of
+    :func:`_pallas_grouped_conv` (see `_kernel_v2`); requires the
+    (H+2, cig, Wlanes) slab + out block to fit VMEM (`v2_supported`)."""
+    gg, b, hp2, cig, wp2 = xt.shape
+    h = hp2 - 2
+    cog = wv.shape[-1] // 3
+    kern = functools.partial(_kernel_v2, cig=cig, cog=cog, w_out=w_out)
+    interpret = jax.default_backend() != "tpu"
+    xt_flat = xt.reshape(gg * b, hp2, cig, wp2)
+    return pl.pallas_call(
+        kern,
+        grid=(gg, b),
+        in_specs=[
+            pl.BlockSpec((1, hp2, cig, wp2),
+                         lambda g, b_, nb=b: (g * nb + b_, 0, 0, 0)),
+            pl.BlockSpec((1, 3 * cig, 3 * cog), lambda g, b_: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, cog, w_out),
+                               lambda g, b_: (g, b_, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((gg, b, h, cog, w_out), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            # useful flops (true conv work, W unpadded) — the MXU also
+            # grinds the Wl-W pad lanes (~1.2x at L0), but MFU accounting
+            # counts algorithmic work, matching the v1 kernel's estimate
+            flops=2 * gg * b * h * w_out * 9 * cig * cog,
+            bytes_accessed=(xt.size + gg * b * h * cog * w_out)
+            * xt.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt_flat, wv)
+
+
 def _lax_reference(x: jnp.ndarray, w: jnp.ndarray,
                    groups: int) -> jnp.ndarray:
     rhs = jnp.transpose(w, (2, 3, 1, 0)).astype(x.dtype)
@@ -169,11 +231,46 @@ def _pad_kernel_layout(y: jnp.ndarray, wdim: int) -> jnp.ndarray:
                        (1, w_lanes - wdim - 1)])
 
 
+def _wt_v1_to_v2(wt: jnp.ndarray) -> jnp.ndarray:
+    """(G, 9*cig, cog) K-order (dy, dx, cig) -> the v2 layout
+    (G, 3*cig, 3*cog): K = (dy, cig), N = (dx, cog). Loop-invariant and
+    tiny (<=300 KB), so XLA hoists it out of sampling scans."""
+    gg, k9, cog = wt.shape
+    cig = k9 // 9
+    wv = wt.reshape(gg, 3, 3, cig, cog)            # (g, dy, dx, ci, o)
+    wv = jnp.transpose(wv, (0, 1, 3, 2, 4))        # (g, dy, ci, dx, o)
+    return wv.reshape(gg, 3 * cig, 3 * cog)
+
+
+def _v2_fits(hp2: int, cig: int, wp2: int, cog: int, w_out: int,
+             itemsize: int, budget: int = 13 * 1024 * 1024) -> bool:
+    """v2 holds the whole (H+2, cig, Wlanes) slab and (H, cog, W) out
+    block in VMEM, both double-buffered by the Pallas pipeline, plus the
+    per-row f32 dot result."""
+    h = hp2 - 2
+    vmem = (2 * hp2 * cig * wp2 * itemsize        # slab blocks
+            + 2 * h * cog * w_out * itemsize      # out blocks
+            + 9 * cig * cog * itemsize            # weights
+            + 3 * cog * wp2 * 4                   # per-row dot result (f32)
+            + cog * w_out * 4)                    # shifted-add acc (f32)
+    return vmem <= budget
+
+
 def _fwd_core(xt: jnp.ndarray, wt: jnp.ndarray, wdim: int,
               out_dtype) -> jnp.ndarray:
     """Padded kernel-layout input (G, B, H+2, cig, Wlanes) x prepared
-    weights (G, 9*cig, cog) -> (G, B, H, cog, W)."""
-    h = xt.shape[2] - 2
+    weights (G, 9*cig, cog) -> (G, B, H, cog, W).
+
+    Routes to the copy-free v2 row kernel when the whole slab fits VMEM
+    (`DD_PALLAS_CONV_V2=0` forces the v1 patch kernel)."""
+    import os
+    gg, b, hp2, cig, wp2 = xt.shape
+    h = hp2 - 2
+    cog = wt.shape[-1]
+    if (os.environ.get("DD_PALLAS_CONV_V2", "1") != "0"
+            and _v2_fits(hp2, cig, wp2, cog, wdim, xt.dtype.itemsize)):
+        return _pallas_grouped_conv_v2(xt, _wt_v1_to_v2(wt).astype(xt.dtype),
+                                       wdim, out_dtype)
     return _pallas_grouped_conv(xt, wt.astype(xt.dtype), _pick_th(h),
                                 wdim, out_dtype)
 

@@ -117,12 +117,38 @@ def get_or_build(name: str, key: str, build_jit_fn: Callable[[], Any],
 # version, and any deserialization failure falls back to the trace path.
 # ---------------------------------------------------------------------------
 
+_SRC_HASH_CACHE: Optional[str] = None
+
+
+def _source_hash() -> str:
+    """Fingerprint of the package's Python source (+ repo-root bench.py).
+
+    A pickled executable is a SNAPSHOT of the compiled computation: unlike
+    the persistent XLA compile cache (keyed on the lowered HLO), nothing
+    ties it to the Python that produced it, so a code change after export
+    would silently serve stale graphs. Folding the source hash into
+    exec_key turns staleness into a clean cache miss (~10 ms to compute,
+    cached per process)."""
+    global _SRC_HASH_CACHE
+    if _SRC_HASH_CACHE is None:
+        h = hashlib.sha256()
+        pkg_root = Path(__file__).resolve().parents[1]
+        for f in sorted(pkg_root.rglob("*.py")):
+            h.update(f.read_bytes())
+        bench = pkg_root.parent / "bench.py"
+        if bench.is_file():
+            h.update(bench.read_bytes())
+        _SRC_HASH_CACHE = h.hexdigest()[:16]
+    return _SRC_HASH_CACHE
+
+
 def exec_key(*parts: Any) -> str:
-    """stage_key plus the executable-compatibility terms (device kind,
-    device count, jax version — already in stage_key)."""
+    """stage_key plus the executable-compatibility terms: device kind,
+    device count (jax version is already in stage_key), and the package
+    source hash (a stale blob must miss, not load)."""
     import jax
     d = jax.devices()
-    return stage_key(*parts, d[0].device_kind, len(d))
+    return stage_key(*parts, d[0].device_kind, len(d), _source_hash())
 
 
 def _exec_path(name: str, key: str) -> Optional[Path]:

@@ -65,7 +65,10 @@ def main():
                 c2 = jnp.einsum("bhwo,oc->bhwc", y, p_).astype(c.dtype)
                 return c2, ()
             y, _ = jax.lax.scan(body, x, None, length=args.scan)
-            return y
+            # sync on a scalar that depends on the whole chain: fetching
+            # the full (B,H,W,C) output costs ~2 s of D2H over the
+            # tunneled runtime (~20 MB/s), swamping the per-conv signal
+            return jnp.float32(jnp.mean(y))
         return jax.jit(run)
 
     flops = 2 * 9 * (ci // g) * co * np.prod(xshape[:3])

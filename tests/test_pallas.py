@@ -110,11 +110,14 @@ def test_mss2d_fused_trains(rng):
     assert float(jnp.abs(g).sum()) > 0
 
 
-def test_grouped_conv_pallas_matches_lax(rng):
-    """The implicit-GEMM 3x3 grouped-conv kernel (sublane-stacked tap
-    patches, one K=9*cig MXU dot per output row) must equal
-    lax.conv_general_dilated(feature_group_count) exactly, grouped and
-    dense, and its custom VJP must match the lax conv's gradients."""
+@pytest.mark.parametrize("v2", ["0", "1"])
+def test_grouped_conv_pallas_matches_lax(rng, monkeypatch, v2):
+    """Both grouped-conv kernels — v1 (sublane-stacked tap patches, one
+    K=9*cig MXU dot per output row) and v2 (copy-free: 3-row slab view,
+    dx taps in the weights' N dim, shifted f32 adds) — must equal
+    lax.conv_general_dilated(feature_group_count), grouped and dense,
+    and the custom VJP must match the lax conv's gradients."""
+    monkeypatch.setenv("DD_PALLAS_CONV_V2", v2)
     from dualdiffusion_tpu.ops.pallas.grouped_conv import (
         _lax_reference, grouped_conv2d_3x3, supported)
 
