@@ -218,7 +218,15 @@ def make_ddec_stage(args, mel_h: int, mel_w: int, key):
                                return_debug=False, use_cfg=False)
         return mfmt.mdct_to_raw(coeffs)
 
-    return {"jit": jax.jit(ddec_decode), "vars": ddvars, "format": mfmt}
+    # analytic per-step flops (2 Heun evals, batch 1 — no CFG): the MFU
+    # denominator; XLA's cost-model flops vary ~15% with conv routing for
+    # the same workload (utils/perf.py:unet_fwd_flops)
+    from dualdiffusion_tpu.utils.perf import unet_fwd_flops
+    dd_flops_step = 2.0 * unet_fwd_flops(ddec_cfg, mdct_shape[0],
+                                         mdct_shape[1], mdct_shape[2])
+
+    return {"jit": jax.jit(ddec_decode), "vars": ddvars, "format": mfmt,
+            "flops_step_analytic": dd_flops_step}
 
 
 def prepare_config(name: str, args, want_ddec: bool):
@@ -338,22 +346,28 @@ def prepare_config(name: str, args, want_ddec: bool):
     exec_keys = {stage: aot_mod.exec_key(stage, *key_parts)
                  for stage in ("sampler", "dae", "fgla")}
     aot_calls = {}
-    # COMPILED-EXECUTABLE blobs (default ON, DD_EXEC_BLOB=0 disables): a
-    # prior full bench run pickled each stage's PjRt executable, so the
-    # warm restart skips Python tracing AND XLA compilation — the two
-    # dominant warm-start terms (BASELINE r4: tracing 20-69 s + cached
-    # compiles ~17 s of the 98.8-134.7 s window). VERDICT r4 #3.
-    if args.compile_only and os.environ.get("DD_EXEC_BLOB", "1") == "1":
+    # COMPILED-EXECUTABLE blobs (DD_EXEC_BLOB=1 opt-in ONLY): a prior full
+    # bench run pickled each stage's PjRt executable, so the warm restart
+    # skips Python tracing AND XLA compilation. Measured ONCE at 33.6 s on
+    # v5e (BASELINE r5), but on the tunneled runtime executing a
+    # deserialized executable subsequently hung at sync (134-179 s prime
+    # when it completed at all) and left the DEVICE wedged for later
+    # processes — default OFF; the seeded jax.export path below is the
+    # production warm-start story. VERDICT r4 #3.
+    if args.compile_only and os.environ.get("DD_EXEC_BLOB", "0") == "1":
         for stage, k_ in exec_keys.items():
             call = aot_mod.load_exec(f"bench_{stage}", k_)
             if call is not None:
                 aot_calls[stage] = call
-    # DD_AOT=1 opt-in ONLY (jax.export StableHLO): measured on v5e, the
-    # deserialized modules skip tracing (lower 0.2 s) but their XLA
-    # compiles MISS the persistent cache and recompile pathologically
-    # (~190-450 s prime vs 42.5 s for the plain trace+cached-compile
-    # path) — see BASELINE r4
-    if args.compile_only and os.environ.get("DD_AOT", "0") == "1":
+    # jax.export StableHLO blobs (default ON, DD_AOT=0 disables): the
+    # deserialized modules skip Python tracing (lower 0.2 s vs 131 s
+    # measured r5, one host core). Their XLA compile keys differ from the
+    # jit path's — compiling a deserialized module against a cache seeded
+    # only by jit-path entries recompiles pathologically (~190-450 s,
+    # BASELINE r4) — so _export_aot SEEDS the persistent cache by
+    # compiling each deserialized module once in the exporting run; the
+    # restart then pays imports + deserialize + cached compile + prime.
+    if args.compile_only and os.environ.get("DD_AOT", "1") == "1":
         for stage, k_ in aot_keys.items():
             if stage in aot_calls:
                 continue
@@ -400,6 +414,8 @@ def prepare_config(name: str, args, want_ddec: bool):
         + (f" [AOT: {','.join(aot_calls)}]" if aot_calls else ""))
 
     from dualdiffusion_tpu.utils.perf import compiled_cost
+    from dualdiffusion_tpu.utils.perf import unet_fwd_flops as \
+        _unet_fwd_flops_cfg
 
     def _cost(stage):  # AOT calls carry no cost analysis (compile-only)
         c = compiled[stage]
@@ -414,6 +430,10 @@ def prepare_config(name: str, args, want_ddec: bool):
         "samp_c": compiled["sampler"], "dae_c": compiled["dae"],
         "fgla_c": compiled["fgla"],
         "samp_cost": _cost("sampler"),
+        # analytic per-step sampler flops (2 Heun evals x CFG batch 2):
+        # routing-independent MFU denominator (utils/perf.py)
+        "samp_flops_step": 2.0 * _unet_fwd_flops_cfg(unet_cfg, 2,
+                                                     lat_h, lat_w),
         "dae_cost": _cost("dae"),
         "compile_secs": {k: round(v, 1) for k, v in compile_secs.items()},
         "aot_stages": sorted(aot_calls),
@@ -456,10 +476,16 @@ def run_config(prep, args, ddec_stage=None):
     # overstated by several runs.
     t_prime0 = time.time()
     lat0 = samp_c(key, uvars)
+    t1 = time.time()
     mel0 = dae_c(lat0, dvars)
+    t2 = time.time()
     fgla_c(mel0, key)
+    t3 = time.time()
     out = np.asarray(e2e_fgla(jax.random.PRNGKey(1)))   # warm
     prime_seconds = time.time() - t_prime0
+    log(f"[{name}] prime: sampler-dispatch {t1-t_prime0:.1f}s "
+        f"dae-dispatch {t2-t1:.1f}s fgla-dispatch {t3-t2:.1f}s "
+        f"e2e+sync {prime_seconds-(t3-t_prime0):.1f}s")
     first_call = prep["prepare_seconds"] + prime_seconds
 
     if args.compile_only:
@@ -479,8 +505,14 @@ def run_config(prep, args, ddec_stage=None):
     # bytes are per-fusion operand counts and over-estimate reuse, so the
     # derived hbm_gbps is an upper bound on true traffic.
     samp_cost = {k: v * args.steps for k, v in samp_cost.items()}
+    # flops: analytic schedule walk (routing-independent — the XLA count
+    # moved ~15% between per-tap and Pallas conv routings for the SAME
+    # workload, r5); bytes: XLA body upper bound
+    samp_cost["flops"] = prep["samp_flops_step"] * args.steps
     stages["sampler"] = stage_stats(t_samp, peaks=peaks, **samp_cost)
-    stages["sampler"]["cost_model"] = f"xla_body_x{args.steps}_steps"
+    stages["sampler"]["cost_model"] = (
+        f"flops=analytic_unet_schedule_x{args.steps}_steps; "
+        f"bytes=xla_body_x{args.steps}")
     stages["sampler"]["reps"] = n_samp
     _, t_dae, n_dae = _timed_call(dae_c, lat0, dvars)
     stages["dae_decode"] = stage_stats(t_dae, peaks=peaks, **dae_cost)
@@ -526,9 +558,13 @@ def run_config(prep, args, ddec_stage=None):
             assert np.isfinite(raw_dd).all(), "non-finite ddec output"
             dd_cost = {k: v * args.ddec_steps
                        for k, v in ddec_stage["cost"].items()}
+            dd_cost["flops"] = (ddec_stage["flops_step_analytic"]
+                                * args.ddec_steps)
             ddec_stage["stats"] = stage_stats(t_dd, peaks=peaks, **dd_cost)
-            ddec_stage["stats"]["cost_model"] = \
-                f"xla_body_x{args.ddec_steps}_steps"
+            ddec_stage["stats"]["cost_model"] = (
+                f"flops=analytic_unet_schedule_x{args.ddec_steps}_steps "
+                f"(excl. mdct synthesis); bytes=xla_body_x"
+                f"{args.ddec_steps}")
             ddec_stage["stats"]["reps"] = n_dd
         stages["ddec_decode"] = ddec_stage["stats"]
 
@@ -697,14 +733,14 @@ def main():
     # warm probe below — and any serving restart — skips tracing and
     # compilation; serializing the already-compiled stages costs seconds
     # and no retrace. VERDICT r4 #3.
-    if "flagship" in results and os.environ.get("DD_EXEC_BLOB", "1") == "1":
+    if "flagship" in results and os.environ.get("DD_EXEC_BLOB", "0") == "1":
         _export_exec(preps["flagship"].result())
-    # export the flagship stage blobs (AOT StableHLO) when opted in; done
-    # OUTSIDE every timed window (re-traces the sampler once). Off by
-    # default: the deserialized modules recompile uncached (slower than
-    # tracing) on this runtime — BASELINE r4
-    if ("flagship" in results and os.environ.get("DD_AOT", "0") == "1"
-            and not args.no_warm_probe):
+    # export the flagship stage blobs (jax.export StableHLO) and SEED the
+    # persistent compile cache with each deserialized module's compile, so
+    # the warm probe / a serving restart pays imports + deserialize +
+    # cached compile + prime instead of re-tracing. Done OUTSIDE every
+    # timed window (re-traces the sampler once, ~1-2 min on one core).
+    if ("flagship" in results and os.environ.get("DD_AOT", "1") == "1"):
         _export_aot(preps["flagship"].result())
 
     # release the inference buffers (param trees, primed intermediates)
@@ -769,20 +805,33 @@ def _export_exec(prep):
 def _export_aot(prep):
     """Serialize the flagship stage modules (jax.export StableHLO) so
     later --compile-only runs — the serving-restart proxy — skip Python
-    tracing (utils/aot.py). Failures are non-fatal: the warm path falls
-    back to tracing."""
+    tracing (utils/aot.py), then SEED the persistent compile cache by
+    compiling each deserialized module once: the deserialized module's
+    compile key differs from the jit path's, so without this the restart
+    recompiles pathologically (~190-450 s, BASELINE r4). Failures are
+    non-fatal: the warm path falls back to tracing."""
     import jax
     from dualdiffusion_tpu.utils import aot as aot_mod
     for stage, (fn, fn_args) in prep["stage_fns"].items():
         k = prep["aot_keys"][stage]
-        if aot_mod.load_stage(f"bench_{stage}", k) is not None:
-            continue
         t0 = time.time()
         try:
-            aot_mod.save_stage(f"bench_{stage}", k, jax.jit(fn), *fn_args)
-            log(f"[aot] exported {stage} in {time.time() - t0:.1f}s")
+            if aot_mod.load_stage(f"bench_{stage}", k) is None:
+                aot_mod.save_stage(f"bench_{stage}", k, jax.jit(fn),
+                                   *fn_args)
+                log(f"[aot] exported {stage} in {time.time() - t0:.1f}s")
+            # seed: a FRESH deserialize (exactly what a restart loads),
+            # lowered+compiled at the stage avals -> persistent-cache
+            # entry under the blob path's key
+            t0 = time.time()
+            call = aot_mod.load_stage(f"bench_{stage}", k)
+            if call is not None:
+                call.lower(*fn_args).compile()
+                log(f"[aot] seeded {stage} compile cache in "
+                    f"{time.time() - t0:.1f}s")
         except Exception as e:
-            log(f"[aot] export of {stage} failed: {type(e).__name__}: {e}")
+            log(f"[aot] export/seed of {stage} failed: "
+                f"{type(e).__name__}: {e}")
 
 
 def _train_probe(args):

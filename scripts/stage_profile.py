@@ -98,15 +98,20 @@ def aggregate_xplane_events(trace_dir: str, topk: int):
     path = max(paths, key=os.path.getmtime)
     xspace = xplane_pb2.XSpace()
     xspace.ParseFromString(open(path, "rb").read())
-    rows, dev_span = _self_times(xspace)
+    rows, full, dev_span = _self_times(xspace)
     total = sum(rows.values())
     out = sorted(rows.items(), key=lambda kv: -kv[1])[:topk]
-    return total, out, dev_span
+    return total, out, dev_span, full
 
 
 def _self_times(xspace):
-    """Stack-based self-time aggregation over every TPU XLA-Ops line."""
+    """Stack-based self-time aggregation over every TPU XLA-Ops line.
+
+    Also returns per-INSTRUCTION self times keyed by the full metadata
+    name (the HLO instruction text, shapes included) so `--dump-kind`
+    can attribute an op-kind bucket to concrete tensors."""
     rows = {}
+    full = {}
     dev_span = [None, None]
     for plane in xspace.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
@@ -147,7 +152,8 @@ def _self_times(xspace):
             for nm, self_d in out_events:
                 g = _group_name(nm)
                 rows[g] = rows.get(g, 0) + self_d
-    return rows, dev_span
+                full[nm] = full.get(nm, 0) + self_d
+    return rows, full, dev_span
 
 
 def main():
@@ -162,6 +168,12 @@ def main():
     ap.add_argument("--fgla", type=int, default=200)
     ap.add_argument("--fgla-init", dest="fgla_init", default="flat")
     ap.add_argument("--trace-dir", default="/tmp/dd_stage_trace")
+    ap.add_argument("--dump-kind", default=None,
+                    help="also print the top individual HLO instructions "
+                    "(full text, shapes included) whose grouped kind "
+                    "starts with this prefix, e.g. 'async-slice' or "
+                    "'copy'")
+    ap.add_argument("--dump-n", type=int, default=12)
     args = ap.parse_args()
 
     from dualdiffusion_tpu.utils.jax_cache import enable_compilation_cache
@@ -255,7 +267,8 @@ def main():
         out = np.asarray(fn(*fargs))
     del out
 
-    total_ps, rows, span = aggregate_xplane_events(args.trace_dir, args.topk)
+    total_ps, rows, span, full = aggregate_xplane_events(args.trace_dir,
+                                                         args.topk)
     dev_s = total_ps / 1e12
     span_s = ((span[1] - span[0]) / 1e12) if span[0] is not None else None
     print(json.dumps({
@@ -269,6 +282,13 @@ def main():
     for name, ps in rows:
         print(f"{name[:90]:<{min(width, 90)}} {ps / 1e9:>10.3f} ms "
               f"{100.0 * ps / total_ps:>5.1f}%")
+    if args.dump_kind:
+        sel = [(nm, ps) for nm, ps in full.items()
+               if _group_name(nm).startswith(args.dump_kind)]
+        sel.sort(key=lambda kv: -kv[1])
+        print(f"\n-- top {args.dump_n} '{args.dump_kind}' instructions --")
+        for nm, ps in sel[:args.dump_n]:
+            print(f"{ps / 1e9:>10.3f} ms  {nm[:400]}")
 
 
 if __name__ == "__main__":
