@@ -108,7 +108,7 @@ def build_configs(name: str, args):
     return mel_h, mel_w, ds, dae_cfg, unet_cfg, fmt_cfg
 
 
-def _timed_call(fn, *fn_args, n: int = 0, target_s: float = 2.0,
+def _timed_call(fn, *fn_args, n: int = 0, target_s: float = 4.0,
                 n_max: int = 64):
     """Steady-state seconds: one synced warm-up, then n async-dispatched
     calls with a SINGLE host sync on the last output. Per-call np.asarray
@@ -341,7 +341,11 @@ def prepare_config(name: str, args, want_ddec: bool):
                        "DD_FGLA_FUSE_ITER"))
     key_parts = (name, unet_cfg, dae_cfg, fmt_cfg,
                  args.steps, args.fgla, args.fgla_init, graph_env)
-    aot_keys = {stage: aot_mod.stage_key(stage, *key_parts)
+    # the package source hash keys the TRACED-module blobs too: a jax
+    # .export blob is a snapshot of the traced graph, so a code change
+    # must miss (re-export + re-seed), never silently serve a stale graph
+    src_h = aot_mod._source_hash()
+    aot_keys = {stage: aot_mod.stage_key(stage, *key_parts, src_h)
                 for stage in ("sampler", "dae", "fgla")}
     exec_keys = {stage: aot_mod.exec_key(stage, *key_parts)
                  for stage in ("sampler", "dae", "fgla")}
@@ -530,9 +534,15 @@ def run_config(prep, args, ddec_stage=None):
     stages["fgla_decode"]["cost_model"] = "analytic"
     stages["fgla_decode"]["reps"] = n_fgla
 
-    t0 = time.time()
-    out = np.asarray(e2e_fgla(jax.random.PRNGKey(2)))
-    e2e_sec = time.time() - t0
+    # 2 timed reps, keep the best: a single rep of the chained e2e read up
+    # to +77% over its own stage-sum in one r5 flagship run (tunnel
+    # hiccup / allocator pause on the first post-timing call) while the
+    # ref-scale chain in the SAME run matched its stage-sum within 2%
+    e2e_sec = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        out = np.asarray(e2e_fgla(jax.random.PRNGKey(2 + 100 * rep)))
+        e2e_sec = min(e2e_sec, time.time() - t0)
     assert np.isfinite(out).all(), "non-finite output"
     audio_seconds = out.shape[-1] / fmt_cfg.sample_rate
     log(f"[{name}] steady-state e2e (FGLA decode): {e2e_sec:.2f}s for "
@@ -575,9 +585,13 @@ def run_config(prep, args, ddec_stage=None):
             return dd_c(dae_c(samp_c(k1, uvars), dvars), k2, ddv)
 
         np.asarray(e2e_ddec(jax.random.PRNGKey(3)))     # warm
-        t0 = time.time()
-        out_dd = np.asarray(e2e_ddec(jax.random.PRNGKey(4)))
-        ddec_e2e = time.time() - t0
+        # 2 timed reps: a single rep of the ~6 s chain read +23% over its
+        # own stage-sum in one r5 run (tunnel hiccup) — keep the best
+        ddec_e2e = float("inf")
+        for rep in range(2):
+            t0 = time.time()
+            out_dd = np.asarray(e2e_ddec(jax.random.PRNGKey(4 + rep)))
+            ddec_e2e = min(ddec_e2e, time.time() - t0)
         assert np.isfinite(out_dd).all()
         log(f"[{name}] steady-state e2e (DDEC decode, {args.ddec_steps} "
             f"Heun steps): {ddec_e2e:.2f}s")

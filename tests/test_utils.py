@@ -92,3 +92,51 @@ def test_stage_stats_hbm_util_never_exceeds_100():
     s2 = stage_stats(1.0, flops=1e12, bytes_accessed=400e9, peaks=peaks)
     assert s2["hbm_util_pct"] == round(100.0 * 400 / 819, 1)
     assert "bytes_model" not in s2
+
+
+def test_unet_fwd_flops_matches_xla_count():
+    """The analytic schedule-walk FLOP count (the bench MFU denominator)
+    must agree with XLA's own cost model on a tiny UNet — analytic
+    excludes elementwise/emb work so it sits slightly below, never more
+    than ~25% away (the conv matmuls dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualdiffusion_tpu.models.unet import UNet, UNetConfig
+    from dualdiffusion_tpu.utils.perf import unet_fwd_flops
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, in_channels_emb=0,
+                     in_num_freqs=16, model_channels=16,
+                     channel_mult=(1, 2), num_layers_per_block=1,
+                     attn_levels=(1,), logvar_channels=8)
+    unet = UNet(cfg)
+    b, h, w = 2, 16, 32
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((b, h, w, 4))
+    sig = jnp.ones((b,))
+    uvars = jax.jit(lambda k: unet.init(k, x, sig, None,
+                                        method=UNet.init_all))(key)
+    comp = jax.jit(lambda v: unet.apply(v, x, sig, None)).lower(uvars).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    xla_flops = float(ca.get("flops", 0.0) or 0.0)
+    ana = unet_fwd_flops(cfg, b, h, w)
+    assert ana > 0 and xla_flops > 0
+    assert abs(ana - xla_flops) / xla_flops < 0.25, (ana, xla_flops)
+
+
+def test_unet_fwd_flops_scaling():
+    """Linear in batch; grouped MLP convs divide by groups."""
+    from dualdiffusion_tpu.models.unet import UNetConfig
+    from dualdiffusion_tpu.utils.perf import unet_fwd_flops
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                     channel_mult=(1, 2), num_layers_per_block=1)
+    f1 = unet_fwd_flops(cfg, 1, 16, 32)
+    f2 = unet_fwd_flops(cfg, 2, 16, 32)
+    assert abs(f2 - 2 * f1) / f1 < 1e-9
+    cfg_g = UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                       channel_mult=(1, 2), num_layers_per_block=1,
+                       mlp_groups=4)
+    assert unet_fwd_flops(cfg_g, 1, 16, 32) < f1
