@@ -268,11 +268,12 @@ def prepare_config(name: str, args, want_ddec: bool):
     log(f"[{name}] unet params: {n_params/1e6:.1f}M; latents {lat_h}x{lat_w}"
         f"x{lat_c}; mel {mel_h}x{mel_w}")
 
-    emb_c = unet.apply(uvars, emb_in, jnp.ones((1,)),
-                       method=UNet.get_embeddings)
-    emb_u = unet.apply(uvars, emb_in, jnp.zeros((1,)),
-                       method=UNet.get_embeddings)
-    emb2 = jnp.concatenate([emb_c, emb_u], axis=0)
+    # one jitted call (eager flax apply dispatches per-op over the tunnel)
+    def _emb2(v, e):
+        emb_c = unet.apply(v, e, jnp.ones((1,)), method=UNet.get_embeddings)
+        emb_u = unet.apply(v, e, jnp.zeros((1,)), method=UNet.get_embeddings)
+        return jnp.concatenate([emb_c, emb_u], axis=0)
+    emb2 = jax.jit(_emb2)(uvars, emb_in)
 
     sp = SampleParams(steps=args.steps, cfg_scale=1.5, use_heun=True)
 
